@@ -1,0 +1,140 @@
+package graft
+
+import graft.functions.Grid
+
+/** SQL builders for the DuckDB oracle queries.
+  *
+  * Every fragment here is the *textual twin* of a Column expression in
+  * graft.functions / graft.operators: identical operation order and
+  * associativity, numeric literals in e-notation (so DuckDB types them
+  * DOUBLE, matching Spark), and no rounding of exact rationals (Spark
+  * `bround` is half-even, DuckDB `round` is half-away — they only agree on
+  * values that are never exact decimal ties, i.e. transcendental-derived
+  * ones). Integer seconds use epoch_us//1000000 (DuckDB's CAST(double AS
+  * BIGINT) rounds where Spark truncates).
+  */
+object OracleSql {
+
+  /** radians(x) as Java Math.toRadians computes it: (x / 180.0) * PI. */
+  def rad(x: String): String = s"(($x) / 18e1 * pi())"
+
+  /** Twin of Geo.haversineMeters (same associativity). */
+  def hav(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val s1 = s"sin((${rad(lat2)} - ${rad(lat1)}) / 2e0)"
+    val s2 = s"sin((${rad(lon2)} - ${rad(lon1)}) / 2e0)"
+    val a  = s"($s1 * $s1 + cos(${rad(lat1)}) * cos(${rad(lat2)}) * ($s2 * $s2))"
+    s"(atan2(sqrt($a), sqrt(1e0 - $a)) * 2e0 * 6371000e0)"
+  }
+
+  /** Twin of Geo.euclidDeg2. */
+  def euclid2(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"((($lat1) - ($lat2)) * (($lat1) - ($lat2)) + (($lon1) - ($lon2)) * (($lon1) - ($lon2)))"
+
+  /** Per-user home/work site coordinates (twin of Pipelines). */
+  val hlat = "(4e1 + CAST(user_id % 5 AS DOUBLE) * 1e-2)"
+  val hlon = "(-75e0 + CAST(user_id % 3 AS DOUBLE) * 1e-2)"
+  val wlat = s"($hlat + 4e-3)"
+  val wlon = s"($hlon + 4e-3)"
+
+  /** The GPS stream CTE (twin of Tables.gps). */
+  val gpsCte: String = graft.sources.Tables.gpsCte.stripPrefix("WITH ")
+
+  /** Velocity pipeline CTEs (twin of Motion.processVelocities): emits
+    * relation `vel(user_id, event_id, ts, lat, lon, binning, displacement,
+    * time_delta, velocity)`.
+    */
+  val velCtes: String = {
+    val meters = hav("plat", "plon", "lat", "lon")
+    s"""lagged AS (
+       |  SELECT user_id, event_id, ts, lat, lon,
+       |         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lag(ts) OVER w AS pts
+       |  FROM gps WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |),
+       |met AS (
+       |  SELECT *, $meters AS meters,
+       |         (abs(epoch_us(ts) // 1000000 - epoch_us(pts) // 1000000)) % 86400 AS secs
+       |  FROM lagged
+       |),
+       |binr AS (
+       |  SELECT *, CASE WHEN secs <> 0 THEN meters / CAST(secs AS DOUBLE) END AS vraw,
+       |    CASE WHEN meters >= 0e0 AND meters < 4.9e0 THEN 'stationary'
+       |         WHEN (CASE WHEN secs <> 0 THEN meters / CAST(secs AS DOUBLE) END) > 0e0
+       |              AND (CASE WHEN secs <> 0 THEN meters / CAST(secs AS DOUBLE) END) < 0.7e0 THEN 'stationary'
+       |         WHEN (CASE WHEN secs <> 0 THEN meters / CAST(secs AS DOUBLE) END) < 1.5e0 THEN 'walking'
+       |         WHEN (CASE WHEN secs <> 0 THEN meters / CAST(secs AS DOUBLE) END) < 5.9e0 THEN 'active'
+       |         WHEN (CASE WHEN secs <> 0 THEN meters / CAST(secs AS DOUBLE) END) < 67.056e0 THEN 'powered_vehicle'
+       |         WHEN (CASE WHEN secs <> 0 THEN meters / CAST(secs AS DOUBLE) END) < 312.928e0 THEN 'high_speed_transportation'
+       |         ELSE 'anomaly' END AS rawbin
+       |  FROM met
+       |),
+       |velg AS (
+       |  SELECT *, CASE WHEN pts IS NULL THEN 'null'
+       |                 WHEN secs > 64800 THEN 'null'
+       |                 WHEN rawbin = 'active' AND secs > 43200 THEN 'null'
+       |                 ELSE rawbin END AS binning
+       |  FROM binr
+       |),
+       |vel AS (
+       |  SELECT user_id, event_id, ts, lat, lon, binning,
+       |    CASE WHEN binning NOT IN ('null', 'anomaly') THEN round(meters, 1) END AS displacement,
+       |    CASE WHEN binning NOT IN ('null', 'anomaly') THEN secs END AS time_delta,
+       |    CASE WHEN binning NOT IN ('null', 'anomaly') THEN round(vraw, 3) END AS velocity
+       |  FROM velg
+       |)""".stripMargin
+  }
+
+  /** Labeled-points CTE (twin of Pipelines.labeledPoints): adds date, cell18,
+    * cid ∈ {home, work, x<cell>} via 500 m haversine fences to the per-user
+    * home/work sites.
+    */
+  val labCtes: String = {
+    val cell18 = Grid.cellSql("lat", "lon", 18)
+    s"""$gpsCte,
+       |$velCtes,
+       |lab AS (
+       |  SELECT *, CAST(ts AS DATE) AS "date",
+       |    CASE WHEN ${hav(hlat, hlon, "lat", "lon")} <= 5e2 THEN 'home'
+       |         WHEN ${hav(wlat, wlon, "lat", "lon")} <= 5e2 THEN 'work'
+       |         ELSE 'x' || CAST($cell18 AS VARCHAR) END AS cid
+       |  FROM vel
+       |)""".stripMargin
+  }
+
+  /** Sessionized visits CTEs (twin of Sessions.visits over labeled points):
+    * emits `visits(user_id, date, pos, cid, time_in, time_out, n_points,
+    * duration, midpoint)`.
+    */
+  val visitCtes: String =
+    s"""$labCtes,
+       |chg AS (
+       |  SELECT *, CASE WHEN lag(cid) OVER w IS DISTINCT FROM cid THEN 1 ELSE 0 END AS is_chg
+       |  FROM lab WHERE binning = 'stationary'
+       |  WINDOW w AS (PARTITION BY user_id, "date" ORDER BY ts, event_id)
+       |),
+       |pos_t AS (
+       |  SELECT *, CAST(sum(is_chg) OVER (PARTITION BY user_id, "date" ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos
+       |  FROM chg
+       |),
+       |collapsed AS (
+       |  SELECT user_id, "date", pos, cid,
+       |         min(ts) AS time_in, max(ts) AS time_out, count(*) AS n_points
+       |  FROM pos_t GROUP BY user_id, "date", pos, cid
+       |),
+       |merged AS (
+       |  SELECT user_id, "date", pos, cid, n_points,
+       |    CASE WHEN pos = 1 AND lag(cid) OVER w2 = cid AND lag("date") OVER w2 = "date" - 1
+       |         THEN CAST("date" AS TIMESTAMP) ELSE time_in END AS time_in,
+       |    CASE WHEN lead(pos) OVER w2 = 1 AND lead(cid) OVER w2 = cid AND lead("date") OVER w2 = "date" + 1
+       |         THEN CAST("date" AS TIMESTAMP) + INTERVAL 23 HOUR + INTERVAL 59 MINUTE + INTERVAL 59 SECOND
+       |         ELSE time_out END AS time_out
+       |  FROM collapsed WINDOW w2 AS (PARTITION BY user_id ORDER BY "date", pos)
+       |),
+       |visits AS (
+       |  SELECT *,
+       |    epoch_us(time_out) // 1000000 - epoch_us(time_in) // 1000000 AS duration,
+       |    make_timestamp((epoch_us(time_in) // 1000000
+       |      + CAST(floor((epoch_us(time_out) // 1000000 - epoch_us(time_in) // 1000000) / 2e0) AS BIGINT)) * 1000000) AS midpoint
+       |  FROM merged
+       |)""".stripMargin
+}

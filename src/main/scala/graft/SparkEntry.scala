@@ -1,13 +1,429 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Geo, Grid}
+import graft.operators.{DailyFeatures, Docs, Motion, Sessions, Similarity, Spatial}
+import graft.sources.Tables
+import graft.OracleSql.{euclid2, hav, hlat, hlon, wlat, wlon}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-equivalent oracle in [[oracleSql]]
+  * where the semantics are SQL-expressible (hash-based ops built on
+  * xxhash64 are rows-only checked).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: pages→cells→point-in-polygon→per-tile counts — the minimum
+    * end-to-end slice of SURVEY.md §7.2 over the synthetic GPS stream.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val pts = Tables.gps(spark, dir)
+      .withColumn("cell", Grid.cell(col("lat"), col("lon"), 15))
+      .withColumn("tile_id", Grid.toParent(col("cell"), 15, 7))
+    val rects = regionRects(spark, dir)
+    pts.join(broadcast(rects),
+        col("lat") >= col("lat_min") && col("lat") < col("lat_max") &&
+          col("lon") >= col("lon_min") && col("lon") < col("lon_max"))
+      .groupBy("r_regionkey", "tile_id")
+      .agg(count(lit(1)).as("n_points"), countDistinct("user_id").as("n_users"))
+  }
+
+  /** Synthetic axis-aligned POI polygons keyed off `region` (deterministic,
+    * derivable identically in the oracle).
+    */
+  private def regionRects(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).select(
+      col("r_regionkey"),
+      (lit(40.0) + col("r_regionkey").cast("double") * 1e-2 - 2e-3).as("lat_min"),
+      (lit(40.0) + col("r_regionkey").cast("double") * 1e-2 + 6e-3).as("lat_max"),
+      lit(-76.0).as("lon_min"),
+      lit(-74.0).as("lon_max"))
+
+  /** Synthetic nation centroid dim for the kNN operator. */
+  private def nationSites(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir).select(
+      col("n_nationkey"),
+      (lit(40.0) + (col("n_nationkey") % 5).cast("double") * 1e-2 + 2e-3).as("d_lat"),
+      (lit(-75.0) + (col("n_nationkey") % 3).cast("double") * 1e-2 + 2e-3).as("d_lon"))
+
+  /** Per-user home-site centers (15 rows, broadcastable dim). */
+  private def homeCenters(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(Pipelines.homeLat.as("c_lat"), Pipelines.homeLon.as("c_lon"))
+      .distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core ------------------------------------------------
+    // money in exact scaled-integer space: price/discount/tax are 2-decimal
+    // values; integer sums are exact, order-independent, and portable
+    // (float sums differ across engines in summation order)
+    "q1_pricing" -> ((s, d) => {
+      val p100 = round(col("l_extendedprice") * 100.0, 0).cast("long")
+      val d100 = round(col("l_discount") * 100.0, 0).cast("long")
+      val t100 = round(col("l_tax") * 100.0, 0).cast("long")
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          (sum(p100).cast("double") / 1e2).as("sum_base_price"),
+          (sum(p100 * (lit(100L) - d100)).cast("double") / 1e4).as("sum_disc_price"),
+          (sum(p100 * (lit(100L) - d100) * (lit(100L) + t100)).cast("double") / 1e6).as("sum_charge"),
+          (sum("l_quantity") / count(lit(1)).cast("double")).as("avg_qty"),
+          (sum(d100).cast("double") / count(lit(1)).cast("double") / 1e2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q3_revenue" -> ((s, d) => {
+      val p100 = round(col("l_extendedprice") * 100.0, 0).cast("long")
+      val d100 = round(col("l_discount") * 100.0, 0).cast("long")
+      Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate"))
+        .groupBy("o_orderkey")
+        .agg((sum(p100 * (lit(100L) - d100)).cast("double") / 1e4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- motion (W1/H2/G1, gscap/gps.py:799-937,1757-1780) --------------
+    "gps_velocity" -> ((s, d) =>
+      Pipelines.velocities(s, d)
+        .select("user_id", "event_id", "ts", "lat", "lon",
+          "binning", "displacement", "time_delta", "velocity")),
+    "gps_resample" -> ((s, d) => Motion.resampleMinutes(Tables.gps(s, d))),
+
+    // ---- tiling (H13/J12) -----------------------------------------------
+    "gps_cells" -> ((s, d) =>
+      Tables.gps(s, d)
+        .groupBy(Grid.cell(col("lat"), col("lon"), 15).as("cell"))
+        .agg(count(lit(1)).as("n_points"))),
+    "gps_tiles" -> ((s, d) =>
+      Tables.gps(s, d)
+        .withColumn("cell", Grid.cell(col("lat"), col("lon"), 15))
+        .withColumn("tile_id", Grid.toParent(col("cell"), 15, 7))
+        .groupBy("tile_id")
+        .agg(count(lit(1)).as("n_points"), countDistinct("user_id").as("n_users"))),
+
+    // ---- sessionization (W2-W4, gscap/gps.py:1279-1363) -----------------
+    "gps_sessions" -> ((s, d) =>
+      Sessions.visits(Pipelines.labeledPoints(s, d))
+        .withColumn("date", col("date").cast("timestamp"))
+        .select("user_id", "date", "pos", "cid", "time_in", "time_out",
+          "n_points", "duration", "midpoint")),
+    "gps_visit_stats" -> ((s, d) => {
+      val v = Sessions.visits(Pipelines.labeledPoints(s, d))
+      v.where(col("cid") =!= "xNot")
+        .groupBy("user_id", "cid")
+        .agg(
+          count(lit(1)).as("times_entered"),
+          (sum("duration").cast("double") / 3600.0).as("total_duration"),
+          (sum("duration").cast("double") / count(lit(1)).cast("double") / 3600.0).as("mean_duration"),
+          (max("duration").cast("double") / 3600.0).as("max_duration"),
+          (min("duration").cast("double") / 3600.0).as("min_duration"),
+          ((max(unix_timestamp(col("midpoint"))) - min(unix_timestamp(col("midpoint")))).cast("double")
+            / when(count(lit(1)) > 1, (count(lit(1)) - 1).cast("double")) / 3600.0)
+            .as("mean_ti_between_visits"))
+    }),
+
+    // ---- daily features (G4, gscap/gps.py:1366-1504) --------------------
+    "gps_daily" -> ((s, d) =>
+      DailyFeatures.daily(Pipelines.labeledPoints(s, d), refRounding = false)
+        .withColumn("date", col("date").cast("timestamp"))),
+    "gps_entropy" -> ((s, d) =>
+      DailyFeatures.locationEntropy(Pipelines.labeledPoints(s, d))
+        .withColumn("entropy", col("entropy") + 0.0)
+        .withColumn("normalized_entropy", col("normalized_entropy") + 0.0)
+        .withColumn("date", col("date").cast("timestamp"))),
+    "gps_gyration" -> ((s, d) =>
+      DailyFeatures.radiusOfGyration(Pipelines.labeledPoints(s, d))
+        .withColumn("date", col("date").cast("timestamp"))),
+    "gps_top_clusters" -> ((s, d) =>
+      DailyFeatures.topClusters(Pipelines.labeledPoints(s, d), 3)),
+
+    // ---- spatial joins (J4/J5/J6/J8/J11) --------------------------------
+    "gps_knn" -> ((s, d) =>
+      Spatial.nearestNeighbor(Tables.gps(s, d), nationSites(s, d), "n_nationkey", Seq("event_id"))
+        .select("event_id", "n_nationkey", "d2")),
+    "gps_pip" -> ((s, d) =>
+      Spatial.pointInRect(Tables.gps(s, d), regionRects(s, d))
+        .select("event_id", "r_regionkey")),
+    "gps_fence" -> ((s, d) =>
+      Pipelines.labeledPoints(s, d).groupBy("user_id", "cid")
+        .agg(count(lit(1)).as("n_points"))),
+    "gps_far" -> ((s, d) =>
+      Spatial.farFromAll(Tables.gps(s, d), homeCenters(s, d), 100.0)
+        .select("event_id")),
+    "gps_pairwise" -> ((s, d) =>
+      Spatial.pairwiseDistances(
+        Tables.gps(s, d).where(col("user_id") === 1).withColumn("id", col("event_id")), "id")
+        .select("id1", "id2", "distance")),
+
+    // ---- gap imputation (H3, gscap/gps.py:1611-1746) --------------------
+    "gps_impute" -> ((s, d) =>
+      Motion.imputeStationary(Tables.gps(s, d))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("event_id") === -1L, 1L).otherwise(0L)).as("n_imputed"))),
+
+    // ---- document pipeline ----------------------------------------------
+    "doc_dups" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(substring(col("text"), 1, 40).cast("binary")).as("prefix_hash"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+        .where(col("n_docs") > 1)),
+    "doc_quality" -> ((s, d) => Docs.qualityFeatures(Tables.documents(s, d))),
+    "doc_lang" -> ((s, d) => Docs.langScores(Tables.documents(s, d))),
+    "doc_minhash" -> ((s, d) =>
+      Docs.minHashCandidates(Docs.minHashSignature(Tables.documents(s, d)))),
+    "doc_simhash" -> ((s, d) => Docs.simHash(Tables.documents(s, d))),
+
+    // ---- similarity search ----------------------------------------------
+    "emb_norms" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        bround(Similarity.l2Norm(col("embedding")), 4).as("l2_norm"))),
+    "emb_sim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", Similarity.cosine(col("embedding"), col("q_emb")))
+        .where(col("cosine") >= 0.3)
+        .select(col("query_id"), col("vec_id"), bround(col("cosine"), 4).as("cosine"))
+    }),
+    "emb_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.where(col("vec_id") % 100 === 0), dim = 64, bits = 8, k = 5)
+        .select("query_id", "vec_id", "rank")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    import OracleSql.{gpsCte, labCtes, velCtes, visitCtes}
+    val cell15 = Grid.cellSql("lat", "lon", 15)
+    val cell7  = Grid.cellSql("lat", "lon", 7)
+
+    Map(
+      "q1_pricing" ->
+        """WITH li AS (
+          |  SELECT *, CAST(round(l_extendedprice * 1e2, 0) AS BIGINT) AS p100,
+          |    CAST(round(l_discount * 1e2, 0) AS BIGINT) AS d100,
+          |    CAST(round(l_tax * 1e2, 0) AS BIGINT) AS t100
+          |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |)
+          |SELECT l_returnflag, l_linestatus,
+          |  sum(l_quantity) AS sum_qty,
+          |  CAST(sum(p100) AS DOUBLE) / 1e2 AS sum_base_price,
+          |  CAST(sum(p100 * (100 - d100)) AS DOUBLE) / 1e4 AS sum_disc_price,
+          |  CAST(sum(p100 * (100 - d100) * (100 + t100)) AS DOUBLE) / 1e6 AS sum_charge,
+          |  sum(l_quantity) / CAST(count(*) AS DOUBLE) AS avg_qty,
+          |  CAST(sum(d100) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e2 AS avg_disc,
+          |  count(*) AS count_order
+          |FROM li GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "q3_revenue" ->
+        """SELECT o_orderkey,
+          |  CAST(sum(CAST(round(l_extendedprice * 1e2, 0) AS BIGINT)
+          |    * (100 - CAST(round(l_discount * 1e2, 0) AS BIGINT))) AS DOUBLE) / 1e4 AS revenue,
+          |  count(*) AS n_items
+          |FROM customer, orders, lineitem
+          |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND o_orderkey = l_orderkey AND l_shipdate > o_orderdate
+          |GROUP BY o_orderkey""".stripMargin,
+
+      "gps_velocity" ->
+        s"""WITH $gpsCte, $velCtes
+           |SELECT user_id, event_id, ts, lat, lon, binning, displacement, time_delta, velocity
+           |FROM vel""".stripMargin,
+      "gps_resample" ->
+        s"""WITH $gpsCte
+           |SELECT user_id, date_trunc('minute', ts) AS ts,
+           |       avg(lat) AS lat, avg(lon) AS lon, count(*) AS n_points
+           |FROM gps GROUP BY user_id, date_trunc('minute', ts)""".stripMargin,
+
+      "gps_cells" ->
+        s"""WITH $gpsCte
+           |SELECT $cell15 AS cell, count(*) AS n_points FROM gps GROUP BY 1""".stripMargin,
+      "gps_tiles" ->
+        s"""WITH $gpsCte
+           |SELECT $cell7 AS tile_id, count(*) AS n_points,
+           |       count(DISTINCT user_id) AS n_users
+           |FROM gps GROUP BY 1""".stripMargin,
+
+      "gps_sessions" ->
+        s"""WITH $visitCtes
+           |SELECT user_id, CAST("date" AS TIMESTAMP) AS "date", pos, cid, time_in, time_out, n_points, duration, midpoint
+           |FROM visits""".stripMargin,
+      "gps_visit_stats" ->
+        s"""WITH $visitCtes
+           |SELECT user_id, cid,
+           |  count(*) AS times_entered,
+           |  CAST(sum(duration) AS DOUBLE) / 36e2 AS total_duration,
+           |  CAST(sum(duration) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 36e2 AS mean_duration,
+           |  CAST(max(duration) AS DOUBLE) / 36e2 AS max_duration,
+           |  CAST(min(duration) AS DOUBLE) / 36e2 AS min_duration,
+           |  CAST(max(epoch_us(midpoint) // 1000000) - min(epoch_us(midpoint) // 1000000) AS DOUBLE)
+           |    / (CASE WHEN count(*) > 1 THEN CAST(count(*) - 1 AS DOUBLE) END) / 36e2 AS mean_ti_between_visits
+           |FROM visits WHERE cid <> 'xNot'
+           |GROUP BY user_id, cid""".stripMargin,
+
+      "gps_daily" -> {
+        val binCols = Motion.Bins.map { b =>
+          s"""  CAST(coalesce(sum(CASE WHEN binning = '$b' THEN time_delta END), 0) AS DOUBLE) / 36e2 AS hours_$b,
+             |  round(coalesce(sum(CASE WHEN binning = '$b' THEN displacement END), 0e0), 3) AS distance_$b""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $labCtes
+           |SELECT user_id, CAST("date" AS TIMESTAMP) AS "date",
+           |  CASE WHEN stddev_pop(lat) + stddev_pop(lon) > 0e0
+           |       THEN round(ln(stddev_pop(lat) + stddev_pop(lon)), 3) END AS location_variance,
+           |  count(DISTINCT hour(ts)) AS hours_accounted_for,
+           |  CAST(coalesce(sum(CASE WHEN binning = 'stationary' AND cid <> 'home' AND cid <> 'work' THEN time_delta END), 0) AS DOUBLE) / 36e2 AS hours_stationary_nhw,
+           |  max(cid = 'work') AS came_to_work,
+           |  count(DISTINCT cid) AS number_of_clusters,
+           |  CAST(coalesce(sum(CASE WHEN cid = 'home' THEN time_delta END), 0) AS DOUBLE) / 36e2 AS hours_in_home,
+           |  CAST(coalesce(sum(CASE WHEN cid = 'work' THEN time_delta END), 0) AS DOUBLE) / 36e2 AS hours_in_work,
+           |$binCols
+           |FROM lab GROUP BY user_id, "date"""".stripMargin
+      },
+      "gps_entropy" ->
+        s"""WITH $labCtes,
+           |dw AS (
+           |  SELECT user_id, "date", cid, sum(time_delta) AS dwell
+           |  FROM lab WHERE cid <> 'xNot' AND time_delta IS NOT NULL
+           |  GROUP BY user_id, "date", cid
+           |),
+           |pr AS (
+           |  SELECT *, CAST(dwell AS DOUBLE) / CAST(sum(dwell) OVER (PARTITION BY user_id, "date") AS DOUBLE) AS p
+           |  FROM dw
+           |)
+           |SELECT user_id, CAST("date" AS TIMESTAMP) AS "date",
+           |  round(-sum(p * ln(p)), 6) + 0e0 AS entropy,
+           |  count(*) AS n_clusters,
+           |  (CASE WHEN count(*) > 1 THEN round((round(-sum(p * ln(p)), 6)) / ln(CAST(count(*) AS DOUBLE)), 6) END) + 0e0 AS normalized_entropy
+           |FROM pr GROUP BY user_id, "date"""".stripMargin,
+      "gps_gyration" ->
+        s"""WITH $labCtes,
+           |cen AS (
+           |  SELECT user_id, "date", avg(lat) AS clat, avg(lon) AS clon
+           |  FROM lab GROUP BY user_id, "date"
+           |)
+           |SELECT l.user_id, CAST(l."date" AS TIMESTAMP) AS "date",
+           |  round(sqrt(avg(${hav("l.lat", "l.lon", "c.clat", "c.clon")} * ${hav("l.lat", "l.lon", "c.clat", "c.clon")})), 0) AS radius_of_gyration_m
+           |FROM lab l JOIN cen c ON l.user_id = c.user_id AND l."date" = c."date"
+           |GROUP BY l.user_id, l."date"""".stripMargin,
+      "gps_top_clusters" ->
+        s"""WITH $labCtes,
+           |dw AS (
+           |  SELECT user_id, cid, sum(time_delta) AS dwell_seconds
+           |  FROM lab WHERE cid <> 'home' AND cid <> 'work' AND cid <> 'xNot'
+           |  GROUP BY user_id, cid
+           |),
+           |rk AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY dwell_seconds DESC, cid ASC) AS INT) AS rank
+           |  FROM dw
+           |)
+           |SELECT user_id, cid, dwell_seconds, rank FROM rk WHERE rank <= 3""".stripMargin,
+
+      "gps_knn" ->
+        s"""WITH $gpsCte,
+           |sites AS (
+           |  SELECT n_nationkey,
+           |    4e1 + CAST(n_nationkey % 5 AS DOUBLE) * 1e-2 + 2e-3 AS d_lat,
+           |    -75e0 + CAST(n_nationkey % 3 AS DOUBLE) * 1e-2 + 2e-3 AS d_lon
+           |  FROM nation
+           |),
+           |scored AS (
+           |  SELECT g.event_id, s.n_nationkey,
+           |    ${euclid2("g.lat", "g.lon", "s.d_lat", "s.d_lon")} AS d2
+           |  FROM gps g CROSS JOIN sites s
+           |),
+           |rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d2 ASC, n_nationkey ASC) AS rn
+           |  FROM scored
+           |)
+           |SELECT event_id, n_nationkey, d2 FROM rk WHERE rn = 1""".stripMargin,
+      "gps_pip" ->
+        s"""WITH $gpsCte,
+           |rects AS (
+           |  SELECT r_regionkey,
+           |    4e1 + CAST(r_regionkey AS DOUBLE) * 1e-2 - 2e-3 AS lat_min,
+           |    4e1 + CAST(r_regionkey AS DOUBLE) * 1e-2 + 6e-3 AS lat_max,
+           |    -76e0 AS lon_min, -74e0 AS lon_max
+           |  FROM region
+           |)
+           |SELECT g.event_id, r.r_regionkey
+           |FROM gps g JOIN rects r
+           |  ON g.lat >= r.lat_min AND g.lat < r.lat_max
+           | AND g.lon >= r.lon_min AND g.lon < r.lon_max""".stripMargin,
+      "gps_fence" ->
+        s"""WITH $labCtes
+           |SELECT user_id, cid, count(*) AS n_points FROM lab GROUP BY user_id, cid""".stripMargin,
+      "gps_far" ->
+        s"""WITH $gpsCte,
+           |centers AS (
+           |  SELECT DISTINCT $hlat AS c_lat, $hlon AS c_lon FROM events
+           |)
+           |SELECT g.event_id FROM gps g
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM centers c
+           |  WHERE ${hav("g.lat", "g.lon", "c.c_lat", "c.c_lon")} < 1e2)""".stripMargin,
+      "gps_pairwise" ->
+        s"""WITH $gpsCte,
+           |u AS (SELECT event_id AS id, lat, lon FROM gps WHERE user_id = 1)
+           |SELECT a.id AS id1, b.id AS id2,
+           |  round(${hav("a.lat", "a.lon", "b.lat", "b.lon")}, 1) AS distance
+           |FROM u a JOIN u b ON a.id < b.id""".stripMargin,
+
+      "doc_dups" ->
+        """SELECT md5(substr(text, 1, 40)) AS prefix_hash,
+          |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
+          |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+      "doc_quality" ->
+        """SELECT doc_id,
+          |  length(text) AS n_chars_m,
+          |  length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+          |  CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS chars_per_token,
+          |  CAST(length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+          |    / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS distinct_ratio,
+          |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS DOUBLE)
+          |    / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS the_ratio
+          |FROM documents""".stripMargin,
+      "doc_lang" -> {
+        val scores = Docs.LangMarkers.toSeq.sortBy(_._1).map { case (lang, pats) =>
+          val terms = pats.map(p =>
+            s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$p', ''))) / ${p.length}")
+            .mkString(" + ")
+          s"  CAST($terms AS BIGINT) AS score_$lang"
+        }.mkString(",\n")
+        s"""SELECT doc_id, lang AS actual_lang,
+           |$scores
+           |FROM documents""".stripMargin
+      },
+
+      "emb_norms" ->
+        """SELECT vec_id, label,
+          |  round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
+          |FROM embeddings""".stripMargin,
+      "emb_sim" ->
+        """WITH q AS (
+          |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0
+          |),
+          |pairs AS (
+          |  SELECT e.vec_id, q.query_id,
+          |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+          |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), 'sum')
+          |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+          |       * sqrt(list_aggregate(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
+          |  FROM embeddings e CROSS JOIN q
+          |  WHERE e.vec_id <> q.query_id
+          |)
+          |SELECT query_id, vec_id, round(cosine, 4) AS cosine
+          |FROM pairs WHERE cosine >= 0.3e0""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text-pipeline operators over the `documents` table:
+  * exact dedup, n-gram Jaccard near-dup, MinHash, SimHash, language-ID
+  * heuristic, quality scoring, token counting, rolling-hash fingerprints.
+  *
+  * All hashes are built from `md5`/`crc32`/`xxhash64` built-ins so they are
+  * deterministic, portable, and codegen'd (no UDFs). Where the DuckDB oracle
+  * can compute the identical function (md5, arithmetic) the operator is
+  * hash-verified; the rest are covered by ScalaTest fixtures.
+  */
+object Docs {
+
+  /** Occurrences of literal substring `pat` — (len(t) − len(replace(t, pat)))
+    * / len(pat); pure arithmetic so the oracle matches exactly.
+    */
+  def substrCount(text: Column, pat: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), ""))) / pat.length
+
+  /** Exact duplicate groups: md5 over the document text. At scale: single
+    * shuffle on the 128-bit digest (uniform keys — no skew), map-side
+    * partial counts.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+      .where(col("n_docs") > 1)
+
+  /** Exact dedup: keep the lowest doc_id per distinct text. */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
+    docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** Word-shingles of size n from whitespace-tokenized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded permutations, the
+    * minimum xxhash64(seed, shingle) over the doc's shingle set. LSH banding
+    * then buckets signatures for near-dup candidate generation — turning
+    * all-pairs similarity into an equi join on (band, band_hash).
+    */
+  def minHashSignature(docs: DataFrame, shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = shingles(col("text"), shingleSize)
+    val sig = array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }: _*)
+    docs.select(col("doc_id"), sig.as("signature"))
+  }
+
+  /** LSH near-dup candidate pairs: split the signature into `bands` bands,
+    * hash each band, group by (band_idx, band_hash) → candidate pairs with
+    * ≥1 identical band. Output: (doc_a, doc_b) with doc_a < doc_b.
+    */
+  def minHashCandidates(signatures: DataFrame, bands: Int = 4): DataFrame = {
+    val rows = signatures.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => {
+        val bandSize = floor(size(col("signature")) / bands).cast("int")
+        xxhash64(slice(col("signature"), b * bandSize + 1, bandSize))
+      })).as(Seq("band_idx", "band_hash")))
+    rows.as("a").join(rows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (verification stage
+    * after LSH, or direct for small sets).
+    */
+  def jaccard(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .otherwise(0.0))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash (64-bit) over whitespace tokens: sign-sum of per-token xxhash64
+    * bits weighted by term frequency; near-dups have small Hamming distance.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits: Seq[Column] = (0 until 64).map { b =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    docs.select(col("doc_id"), bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Language-ID heuristic: per-language stopword occurrence score from
+    * substring counts (pure arithmetic — oracle-expressible); argmax wins.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " y ", " los "),
+    "zh" -> Seq(" de ", " shi ", " zhong "))
+
+  def langScores(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scored = LangMarkers.toSeq.sortBy(_._1).foldLeft(docs) { case (df, (lang, pats)) =>
+      df.withColumn(s"score_$lang",
+        pats.map(p => substrCount(padded, p)).reduce(_ + _).cast("long"))
+    }
+    scored.select(col("doc_id") +: col("lang").as("actual_lang") +:
+      LangMarkers.keys.toSeq.sorted.map(l => col(s"score_$l")): _*)
+  }
+
+  /** Quality-score features: length, word count, mean word length, distinct
+    * token ratio, stopword ratio — the standard web-text filters, all pure
+    * arithmetic over built-ins.
+    */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    // ratios stay raw exact rationals: int/int division is one IEEE
+    // rounding, bit-identical across engines (no decimal re-rounding).
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(toks).cast("long").as("n_tokens"),
+      (length(col("text")).cast("double") / size(toks).cast("double")).as("chars_per_token"),
+      (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("distinct_ratio"),
+      (substrCount(concat(lit(" "), col("text"), lit(" ")), " the ").cast("double")
+        / size(toks).cast("double")).as("the_ratio"))
+  }
+
+  /** Document fingerprint: 64-bit polynomial rolling hash of the whole text
+    * (base 31, wrapping long arithmetic), as a cheap order-sensitive content
+    * id; plus winnowing-style k-gram min-hash per fixed-length block.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val chars = split(col("text"), "")
+    val poly = aggregate(
+      filter(chars, c => length(c) > 0),
+      lit(0L),
+      (acc, c) => acc * 31L + ascii(c).cast("long"))
+    docs.select(col("doc_id"), poly.as("fingerprint"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+
+/** Motion-feature operators: per-point velocity metrics + discrete binning,
+  * minute resampling, and stationary-gap imputation.
+  *
+  * Reference semantics (kept exactly, quirks included):
+  *   - process_velocities gscap/gps.py:799-854: lag-1 window per user sorted
+  *     by ts; the first row of each partition carries nulls with
+  *     binning='null'; pairs with Δt > 18 h, and 'active' pairs with
+  *     Δt > 12 h, are fully nulled (gps.py:820-829).
+  *   - discrete_velocity gscap/gps.py:857-937: Δt uses Python
+  *     `timedelta.seconds`, i.e. **modulo 86400** (gps.py:886-889) — a
+  *     reference quirk preserved here; displacement rounds half-even to 1 dp,
+  *     velocity to 3 dp (np.round → bround).
+  *   - resample_gps_intervals gscap/gps.py:1757-1780: truncate ts to the
+  *     minute, mean lat/lon per group.
+  *   - impute_between / impute_stationary_coordinates gscap/gps.py:1611-1746:
+  *     fill endpoint-exclusive `freq`-spaced points between consecutive
+  *     stationary fixes ≤75 m and ≤12 h apart, linear lat/lon interpolation.
+  *
+  * Scale notes: everything is window-over-(user_id) + hash-agg — shuffles
+  * once on user_id, no driver-side iteration; expressions are all built-in →
+  * whole-stage codegen. At 10^12 rows the user_id partitioning is the
+  * natural co-location key and AQE handles stragglers.
+  */
+object Motion {
+
+  val Bins = Seq("stationary", "walking", "active", "powered_vehicle", "high_speed_transportation")
+
+  /** Discrete velocity bin from (meters, seconds, velocity) — the CASE chain
+    * of gscap/gps.py:896-930. Null-safe: NaN/null velocity falls through to
+    * 'anomaly' exactly like Python NaN comparisons do.
+    */
+  def binning(meters: Column, velocity: Column): Column =
+    when(meters >= 0.0 && meters < 4.9, "stationary")
+      .when(velocity > 0.0 && velocity < 0.7, "stationary")
+      .when(velocity < 1.5, "walking")
+      .when(velocity < 5.9, "active")
+      .when(velocity < 67.056, "powered_vehicle")
+      .when(velocity < 312.928, "high_speed_transportation")
+      .otherwise("anomaly")
+
+  /** Full per-point velocity pipeline. Input: (user_id, event_id, ts, lat, lon).
+    * Output adds displacement (m, 1dp), time_delta (s, mod-86400), velocity
+    * (m/s, 3dp), binning.
+    */
+  def processVelocities(gpsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pLat = lag("lat", 1).over(w)
+    val pLon = lag("lon", 1).over(w)
+    val pTs  = lag("ts", 1).over(w)
+
+    val meters = Geo.haversineMeters(pLat, pLon, col("lat"), col("lon"))
+    // Python timedelta.seconds semantics: |Δt| mod 86400 (gps.py:886-889)
+    val secs = pmod(abs(unix_timestamp(col("ts")) - unix_timestamp(pTs)), lit(86400L))
+    val vel  = when(secs =!= 0L, meters / secs.cast("double"))
+
+    val rawBin = binning(meters, vel)
+    // guards gps.py:820-829: Δt>18h → nulled row; active & Δt>12h → nulled row
+    val guarded = when(pTs.isNull, "null")
+      .when(secs > 18L * 3600L, "null")
+      .when(rawBin === "active" && secs > 12L * 3600L, "null")
+      .otherwise(rawBin)
+
+    val keepMetrics = guarded =!= "null" && guarded =!= "anomaly"
+    gpsDf
+      .withColumn("displacement", when(keepMetrics, bround(meters, 1)))
+      .withColumn("time_delta",   when(keepMetrics, secs))
+      .withColumn("velocity",     when(keepMetrics, bround(vel, 3)))
+      .withColumn("binning",      guarded)
+  }
+
+  /** Minute resample: mean lat/lon per (user, minute); ts = the minute key.
+    * Reference: resample_gps_intervals gscap/gps.py:1757-1780 (single hash
+    * aggregation; partial/map-side combine is free from Catalyst).
+    */
+  def resampleMinutes(gpsDf: DataFrame): DataFrame =
+    gpsDf
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("ts"))
+      .agg(avg("lat").as("lat"), avg("lon").as("lon"), count(lit(1)).as("n_points"))
+
+  /** Stationary-gap imputation (gscap/gps.py:1611-1746): between consecutive
+    * points that are ≤ maxMeters apart and ≤ maxGapSec apart, generate
+    * endpoint-exclusive points every `stepSec` with linearly interpolated
+    * coordinates. Implemented as sequence()+explode (built-in generator) —
+    * fully distributed, no driver loop.
+    */
+  def imputeStationary(gpsDf: DataFrame,
+                       stepSec: Long = 600L,
+                       maxMeters: Double = 75.0,
+                       maxGapSec: Long = 12L * 3600L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pLat = lag("lat", 1).over(w)
+    val pLon = lag("lon", 1).over(w)
+    val pTs  = lag("ts", 1).over(w)
+
+    val meters = Geo.haversineMeters(pLat, pLon, col("lat"), col("lon"))
+    val gapSec = unix_timestamp(col("ts")) - unix_timestamp(pTs)
+    val eligible = pTs.isNotNull && meters <= maxMeters && gapSec > stepSec && gapSec <= maxGapSec
+
+    val withGaps = gpsDf
+      .withColumn("prev_lat", pLat).withColumn("prev_lon", pLon).withColumn("prev_ts", pTs)
+      .withColumn("gap_ok", eligible)
+
+    // endpoint-exclusive timestamps: prev_ts + step, ..., < ts
+    val filled = withGaps
+      .where(col("gap_ok"))
+      .select(
+        col("user_id"), col("event_id"),
+        col("prev_ts"), col("prev_lat"), col("prev_lon"), col("lat"), col("lon"), col("ts"),
+        posexplode(sequence(
+          unix_timestamp(col("prev_ts")) + stepSec,
+          unix_timestamp(col("ts")) - 1L,
+          lit(stepSec))).as(Seq("pos", "fill_sec"))
+      )
+      .withColumn("n_fill",
+        floor((unix_timestamp(col("ts")) - lit(1L) - (unix_timestamp(col("prev_ts")) + stepSec)) / stepSec) + 1L)
+      .select(
+        col("user_id"),
+        lit(-1L).as("event_id"),
+        timestamp_seconds(col("fill_sec")).as("ts"),
+        // np.linspace over the kept timestamps, endpoints inclusive in value
+        // space (gps.py:1645-1646): count n_fill → fraction pos/(n_fill-1),
+        // degenerate n_fill==1 → start value.
+        when(col("n_fill") === 1L, col("prev_lat"))
+          .otherwise(col("prev_lat") + (col("lat") - col("prev_lat")) * (col("pos").cast("double") / (col("n_fill") - 1L).cast("double")))
+          .as("lat"),
+        when(col("n_fill") === 1L, col("prev_lon"))
+          .otherwise(col("prev_lon") + (col("lon") - col("prev_lon")) * (col("pos").cast("double") / (col("n_fill") - 1L).cast("double")))
+          .as("lon")
+      )
+
+    gpsDf.select("user_id", "event_id", "ts", "lat", "lon")
+      .unionByName(filled)
+  }
+}

