@@ -37,15 +37,23 @@ object Docs {
     docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
   }
 
-  /** Word-shingles of size n from whitespace-tokenized text. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
+  /** Word-shingles of size n from a pre-tokenized array column. The token
+    * array MUST be a materialized column reference (not an inline split):
+    * expressions referenced inside HOF lambdas are re-evaluated per element,
+    * so an inline regex split would turn this O(n) pass into O(n²) splits.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
         s => s.isNotNull))
-  }
+
+  /** Word-shingles of size n from whitespace-tokenized text (convenience for
+    * small frames/tests; see shinglesFromTokens for the hot path).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(split(trim(text), "\\s+"), n)
 
   /** MinHash signature: for each of `numHashes` seeded permutations, the
     * minimum xxhash64(seed, shingle) over the doc's shingle set. LSH banding
@@ -53,11 +61,18 @@ object Docs {
     * all-pairs similarity into an equi join on (band, band_hash).
     */
   def minHashSignature(docs: DataFrame, shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = shingles(col("text"), shingleSize)
-    val sig = array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }: _*)
-    docs.select(col("doc_id"), sig.as("signature"))
+    // materialize shingles once (separate projection), then derive all
+    // `numHashes` permutation-minima from the single base-hash array:
+    // h_seed(s) = xxhash64(seed, h0(s)) — avoids numHashes full re-hashes
+    // of the string array and keeps one pass per row
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleSize).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("h0"))
+      .select(
+        col("doc_id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          seed => array_min(transform(col("h0"), h => xxhash64(seed, h)))).as("signature"))
   }
 
   /** LSH near-dup candidate pairs: split the signature into `bands` bands,
@@ -99,14 +114,19 @@ object Docs {
     * bits weighted by term frequency; near-dups have small Hamming distance.
     */
   def simHash(docs: DataFrame): DataFrame = {
+    // single aggregate pass: accumulator = 64 signed counters; each token
+    // hash contributes ±1 per bit position; final fold packs sign bits
     val toks = split(trim(col("text")), "\\s+")
     val hashes = transform(toks, t => xxhash64(t))
-    val bits: Seq[Column] = (0 until 64).map { b =>
-      val contrib = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    docs.select(col("doc_id"), bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+    val zeros = array_repeat(lit(0L), 64)
+    val counters = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    val packed = aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    docs.select(col("doc_id"), packed.as("simhash"))
   }
 
   /** Language-ID heuristic: per-language stopword occurrence score from

@@ -102,7 +102,17 @@ object Motion {
 
     val meters = Geo.haversineMeters(pLat, pLon, col("lat"), col("lon"))
     val gapSec = unix_timestamp(col("ts")) - unix_timestamp(pTs)
-    val eligible = pTs.isNotNull && meters <= maxMeters && gapSec > stepSec && gapSec <= maxGapSec
+    // eligibility mirrors impute_between (gps.py:1625-1630): the pair's
+    // discrete bin must be 'stationary', rounded displacement ≤ maxMeters,
+    // and the mod-86400 Δt (timedelta.seconds quirk) ≤ maxGapSec; the fill
+    // range itself spans the REAL gap (pandas date_range semantics)
+    val secsMod = pmod(abs(unix_timestamp(col("ts")) - unix_timestamp(pTs)), lit(86400L))
+    val vel     = when(secsMod =!= 0L, meters / secsMod.cast("double"))
+    val eligible = pTs.isNotNull &&
+      binning(meters, vel) === "stationary" &&
+      bround(meters, 1) <= maxMeters &&
+      secsMod <= maxGapSec &&
+      gapSec > stepSec
 
     val withGaps = gpsDf
       .withColumn("prev_lat", pLat).withColumn("prev_lon", pLon).withColumn("prev_ts", pTs)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Docs
+
+class DocsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),
+    (3L, "der schnelle braune fuchs und der faule hund", "de"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en") // exact dup of 1
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps lowest doc_id per distinct text") {
+    val out = Docs.dedupExact(docs).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("exact dup groups finds the duplicate pair") {
+    val g = Docs.exactDupGroups(docs).collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Long]("n_docs") === 2L)
+    assert(g(0).getAs[Long]("keep_doc_id") === 1L)
+  }
+
+  test("shingles: 3-gram count and content") {
+    val sh = docs.where(col("doc_id") === 1)
+      .select(Docs.shingles(col("text"), 3).as("sh")).head.getSeq[String](0)
+    assert(sh.size === 7) // 9 tokens → 7 shingles, all distinct here
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("the lazy dog"))
+  }
+
+  test("jaccard: near-dup pair has high similarity, cross-lang pair zero") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Docs.jaccard(docs, pairs).collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) > 0.5) // 6 of 8 shingles shared
+    assert(j((1L, 3L)) === 0.0)
+  }
+
+  test("minhash LSH surfaces the exact dup as a candidate") {
+    val cand = Docs.minHashCandidates(Docs.minHashSignature(docs))
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs get identical hashes, near-dups small hamming distance") {
+    val h = Docs.simHash(docs).as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(4L))
+    val ham = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val hamCross = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(ham < hamCross)
+  }
+
+  test("substrCount counts non-overlapping literal occurrences") {
+    val n = Seq(Tuple1(" the quick the lazy the ")).toDF("t")
+      .select(Docs.substrCount(col("t"), " the ").cast("long")).head.getLong(0)
+    assert(n === 3L) // non-overlapping scan: offsets 0, 10, 19
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fp = Docs.fingerprint(Seq((1L, "abc"), (2L, "acb"), (3L, "abc")).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(3L))
+    assert(fp(1L) !== fp(2L))
+    // polynomial base-31 over code points: 'a'*31² + 'b'*31 + 'c'
+    assert(fp(1L) === (97L * 31 * 31 + 98L * 31 + 99L))
+  }
+
+  test("language scores: the/der markers dominate for matching language") {
+    val s = Docs.langScores(docs).where(col("doc_id") === 3).head
+    assert(s.getAs[Long]("score_de") > s.getAs[Long]("score_en"))
+  }
+}
