@@ -163,6 +163,37 @@ object SparkEntry {
         Tables.gps(s, d).where(col("user_id") === 1).withColumn("id", col("event_id")), "id")
         .select("id1", "id2", "distance")),
 
+    // ---- clustering (G7/G2/G8 + home/work, gscap/gps.py:940-1270) -------
+    // not SQL-expressible → rows-only driver check; exact-value parity is
+    // pinned in ClusteringSpec (40.00015/-45.0 fixture etc.)
+    "gps_clusters" -> ((s, d) => {
+      val (_, clusters) = operators.Clustering.clustersWithContext(
+        Pipelines.velocities(s, d), minSamples = 20)
+      clusters.toDF()
+    }),
+    "gps_cluster_labels" -> ((s, d) => {
+      val (records, _) = operators.Clustering.clustersWithContext(
+        Pipelines.velocities(s, d), minSamples = 20)
+      records.toDF().groupBy("user_id", "cid")
+        .agg(count(lit(1)).as("n_points"),
+          bround(avg("distance_from_home"), 0).as("avg_dfh_m"))
+    }),
+    "gps_full_pipeline" -> ((s, d) => {
+      // velocities → home/work/x-cluster labels → sessionized visits →
+      // per-cluster visit statistics: the reference's §3.1 lifecycle
+      val (records, _) = operators.Clustering.clustersWithContext(
+        Pipelines.velocities(s, d), minSamples = 20)
+      val visits = Sessions.visits(
+        records.toDF().withColumn("date", col("ts").cast("date")))
+      Sessions.clusterMetrics(visits)
+    }),
+    "dbscan_distributed" -> ((s, d) => {
+      // global point-cloud DBSCAN over all users' points (web-scale path)
+      val pts = Tables.gps(s, d).select(col("event_id").as("id"), col("lat"), col("lon"))
+      operators.DistributedDbscan.run(pts, eps = 0.005, minSamples = 50)
+        .groupBy("label").agg(count(lit(1)).as("n_points"))
+    }),
+
     // ---- gap imputation (H3, gscap/gps.py:1611-1746) --------------------
     "gps_impute" -> ((s, d) =>
       Motion.imputeStationary(Tables.gps(s, d))

@@ -1,0 +1,239 @@
+package graft.operators
+
+import java.sql.Timestamp
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The reference's clustering pipeline get_clusters_with_context
+  * (gscap/gps.py:1103-1270) run exactly, per user:
+  *
+  *   1. split stationary vs rest (gps.py:1107-1109)
+  *   2. estimate_home (gps.py:940-968): night hours (0<h<6 | 19<h<24) →
+  *      DBSCAN → top cluster by mode (smallest label on ties) → 500 m
+  *      median-fence add/remove relabel (gps.py:1121-1130)
+  *   3. estimate_work (gps.py:971-999): 9≤h≤17 & Mon-Fri → DBSCAN → top →
+  *      161 km home-distance sanity (gps.py:1156-1162) → fence relabel
+  *      restricted to 7<h<20 rows (gps.py:1167-1179)
+  *   4. DBSCAN the remaining stationary → cid x<k>/xNot (gps.py:1200-1207)
+  *   5. cluster table with center stats (extract_cluster_centers,
+  *      gps.py:1002-1067 — including the np.percentile-with-fractions IQR
+  *      quirk at gps.py:1031-1041 and ddof=1 std), cid/name/categories
+  *   6. distance_from_home from the 5 dp-rounded home center (gps.py:1264-70)
+  *
+  * Executed per user inside flatMapGroups: users are independent, so this is
+  * exact AND embarrassingly parallel — the correct Spark shape for millions
+  * of users (one shuffle on user_id, no driver involvement). For one global
+  * point cloud (the web-scale graft path) see [[DistributedDbscan]].
+  */
+object Clustering {
+
+  case class EnrichedPoint(user_id: Long, event_id: Long, ts: Timestamp,
+                           lat: Double, lon: Double, binning: String)
+  case class LabeledRecord(user_id: Long, event_id: Long, ts: Timestamp,
+                           lat: Double, lon: Double, binning: String, cid: String,
+                           distance_from_home: Option[Double])
+  case class ClusterRow(user_id: Long, cid: String, name: String, categories: String,
+                        lat: Double, lon: Double,
+                        lat_range: Double, lat_IQR: Double, lat_min: Double, lat_max: Double, lat_std: Double,
+                        lon_range: Double, lon_IQR: Double, lon_min: Double, lon_max: Double, lon_std: Double,
+                        max_distance_from_center: Double)
+
+  /** np.round semantics: half-even on the scaled binary double. */
+  def npRound(x: Double, dp: Int): Double = {
+    if (x.isNaN) return x
+    val s = math.pow(10, dp)
+    math.rint(x * s) / s
+  }
+
+  /** Scalar haversine, meters — mirror of Geo.haversineMeters / utils.py:204-228. */
+  def haversine(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val r1 = math.toRadians(lat1); val r2 = math.toRadians(lat2)
+    val sdlat = math.sin((math.toRadians(lat2) - math.toRadians(lat1)) / 2.0)
+    val sdlon = math.sin((math.toRadians(lon2) - math.toRadians(lon1)) / 2.0)
+    val a = sdlat * sdlat + math.cos(r1) * math.cos(r2) * (sdlon * sdlon)
+    math.atan2(math.sqrt(a), math.sqrt(1.0 - a)) * 2.0 * 6371000.0
+  }
+
+  /** pandas median: mean of the two middle order statistics. */
+  def median(vals: Seq[Double]): Double = {
+    val s = vals.sorted; val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** np.percentile(vals, q) with linear interpolation; q in PERCENT. The
+    * reference passes fractions (0.25/0.75) to this percent-based API
+    * (gps.py:1031,1040) — the quirk is preserved by the caller.
+    */
+  def percentile(vals: Seq[Double], q: Double): Double = {
+    val s = vals.sorted; val n = s.length
+    if (n == 1) return s.head
+    val pos = q / 100.0 * (n - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.min(lo + 1, n - 1)
+    s(lo) + (s(hi) - s(lo)) * (pos - lo)
+  }
+
+  private def mean(vals: Seq[Double]): Double = vals.sum / vals.length
+  /** pandas .std(): sample std, ddof=1 (NaN for n=1). */
+  private def stdSamp(vals: Seq[Double]): Double = {
+    val n = vals.length
+    if (n < 2) Double.NaN
+    else {
+      val m = mean(vals)
+      math.sqrt(vals.map(v => (v - m) * (v - m)).sum / (n - 1))
+    }
+  }
+
+  /** Center stats for one cluster's member points (extract_cluster_centers,
+    * gps.py:1002-1067). Rounding: coords/stats 5 dp, max-distance 3 dp,
+    * half-even (np.round).
+    */
+  def centerStats(user: Long, cid: String, pts: Seq[(Double, Double)]): ClusterRow = {
+    val lats = pts.map(_._1); val lons = pts.map(_._2)
+    val latMean = mean(lats); val lonMean = mean(lons)
+    val maxDist = pts.map { case (la, lo) => haversine(la, lo, latMean, lonMean) }.max
+    ClusterRow(user, cid, "nap", "nap",
+      npRound(latMean, 5), npRound(lonMean, 5),
+      npRound(lats.max - lats.min, 5),
+      npRound(percentile(lats, 0.75) - percentile(lats, 0.25), 5),
+      npRound(lats.min, 5), npRound(lats.max, 5), npRound(stdSamp(lats), 5),
+      npRound(lons.max - lons.min, 5),
+      npRound(percentile(lons, 0.75) - percentile(lons, 0.25), 5),
+      npRound(lons.min, 5), npRound(lons.max, 5), npRound(stdSamp(lons), 5),
+      npRound(maxDist, 3))
+  }
+
+  /** Hour-of-day / weekday in UTC (session TZ is pinned UTC). */
+  private def hourOf(ts: Timestamp): Int =
+    ts.toLocalDateTime.getHour
+  private def isWeekday(ts: Timestamp): Boolean =
+    ts.toLocalDateTime.getDayOfWeek.getValue <= 5 // Mon=1..Fri=5 ⇔ python weekday()<5
+
+  /** DBSCAN over a subset + top-cluster extraction (estimate_home/work shape,
+    * gps.py:940-999). Returns (center, memberIdx-in-input).
+    */
+  private def estimateSite(pts: mutable.ArrayBuffer[(Int, (Double, Double))],
+                           user: Long, label: String,
+                           eps: Double, minSamples: Int): (Option[ClusterRow], Set[Int]) = {
+    if (pts.isEmpty) return (None, Set.empty)
+    val labels = Dbscan.run(pts.map(_._2).toArray, eps, minSamples)
+    Dbscan.topCluster(labels) match {
+      case None => (None, Set.empty)
+      case Some(top) =>
+        val members = pts.indices.filter(labels(_) == top)
+        val center = centerStats(user, label, members.map(i => pts(i)._2))
+        (Some(center), members.map(i => pts(i)._1).toSet)
+    }
+  }
+
+  /** The full per-user pipeline. Returns (labeled records, cluster rows). */
+  def contextForUser(user: Long, rowsIn: Seq[EnrichedPoint],
+                     eps: Double, minSamples: Int, fence: Double)
+      : (Seq[LabeledRecord], Seq[ClusterRow]) = {
+    val rows = rowsIn.sortBy(r => (r.ts.getTime, r.event_id))
+    if (rows.length < 3)
+      return (rows.map(r => LabeledRecord(r.user_id, r.event_id, r.ts, r.lat, r.lon, r.binning, "xNot", None)), Nil)
+
+    var stationary = rows.filter(_.binning == "stationary").toIndexedSeq
+    val others     = rows.filter(_.binning != "stationary")
+    val cids       = mutable.HashMap.empty[Long, String] // event_id → cid
+    val clusters   = mutable.ArrayBuffer.empty[ClusterRow]
+
+    // --- home (gps.py:1119-1146)
+    val nightIdx = mutable.ArrayBuffer.empty[(Int, (Double, Double))]
+    stationary.zipWithIndex.foreach { case (r, i) =>
+      val h = hourOf(r.ts)
+      if ((h > 0 && h < 6) || (h > 19 && h < 24)) nightIdx += ((i, (r.lat, r.lon)))
+    }
+    val (homeOpt, hmask0) = estimateSite(nightIdx, user, "home", eps, minSamples)
+    var home: Option[ClusterRow] = homeOpt
+    if (hmask0.nonEmpty) {
+      val hmask = mutable.HashSet.empty[Int] ++ hmask0
+      val hlat = median(hmask0.toSeq.map(stationary(_).lat))
+      val hlon = median(hmask0.toSeq.map(stationary(_).lon))
+      stationary.indices.foreach { idx =>
+        val r = stationary(idx)
+        val d = haversine(hlat, hlon, r.lat, r.lon)
+        if (d <= fence) hmask += idx else hmask -= idx
+      }
+      stationary.indices.foreach { idx =>
+        if (hmask(idx)) cids(stationary(idx).event_id) = "home"
+      }
+      stationary = stationary.indices.filterNot(hmask).map(stationary).toIndexedSeq
+    } else home = None
+
+    // --- work (gps.py:1149-1196)
+    val workIdx = mutable.ArrayBuffer.empty[(Int, (Double, Double))]
+    stationary.zipWithIndex.foreach { case (r, i) =>
+      val h = hourOf(r.ts)
+      if (h >= 9 && h <= 17 && isWeekday(r.ts)) workIdx += ((i, (r.lat, r.lon)))
+    }
+    var (workOpt, wmask0) = estimateSite(workIdx, user, "work", eps, minSamples)
+    if (wmask0.nonEmpty) {
+      val valid = home.forall { h =>
+        workOpt.exists(w => haversine(w.lat, w.lon, h.lat, h.lon) / 1000.0 <= 161.0)
+      }
+      if (valid) {
+        val wmask = mutable.HashSet.empty[Int] ++ wmask0
+        val wlat = median(wmask0.toSeq.map(stationary(_).lat))
+        val wlon = median(wmask0.toSeq.map(stationary(_).lon))
+        stationary.indices.foreach { idx =>
+          val r = stationary(idx)
+          val h = hourOf(r.ts)
+          if (h > 7 && h < 20) {
+            val d = haversine(wlat, wlon, r.lat, r.lon)
+            if (d <= fence) wmask += idx else wmask -= idx
+          }
+        }
+        stationary.indices.foreach { idx =>
+          if (wmask(idx)) cids(stationary(idx).event_id) = "work"
+        }
+        stationary = stationary.indices.filterNot(wmask).map(stationary).toIndexedSeq
+      } else { workOpt = None; wmask0 = Set.empty }
+    } else workOpt = None
+
+    // --- remaining stationary → x<k> clusters (gps.py:1199-1217)
+    val labels = Dbscan.run(stationary.map(r => (r.lat, r.lon)).toArray, eps, minSamples)
+    stationary.indices.foreach { i =>
+      cids(stationary(i).event_id) = if (labels(i) != -1) s"x${labels(i)}" else "xNot"
+    }
+    labels.distinct.filter(_ != -1).sorted.foreach { l =>
+      val members = stationary.indices.filter(labels(_) == l).map(i => (stationary(i).lat, stationary(i).lon))
+      clusters += centerStats(user, s"x$l", members)
+    }
+    home.foreach(h => clusters += h.copy(name = "home", categories = "home"))
+    workOpt.foreach(w => clusters += w.copy(name = "work", categories = "work"))
+
+    // --- distance_from_home from the ROUNDED home center (gps.py:1264-1270)
+    val records = rows.map { r =>
+      val cid = cids.getOrElse(r.event_id, "xNot")
+      val dfh = home.map(h => haversine(h.lat, h.lon, r.lat, r.lon))
+      LabeledRecord(r.user_id, r.event_id, r.ts, r.lat, r.lon, r.binning, cid, dfh)
+    }
+    (records, clusters.toSeq)
+  }
+
+  /** Distributed wiring: one shuffle on user_id; all sequential reference
+    * semantics run inside each group.
+    */
+  def clustersWithContext(points: DataFrame,
+                          eps: Double = 0.005, minSamples: Int = 100, fence: Double = 500.0)
+      : (Dataset[LabeledRecord], Dataset[ClusterRow]) = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val ds = points
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("lat"), col("lon"), col("binning"))
+      .as[EnrichedPoint]
+    val grouped = ds.groupByKey(_.user_id)
+    val records = grouped.flatMapGroups { (u, it) =>
+      contextForUser(u, it.toSeq, eps, minSamples, fence)._1.iterator
+    }
+    val clusters = grouped.flatMapGroups { (u, it) =>
+      contextForUser(u, it.toSeq, eps, minSamples, fence)._2.iterator
+    }
+    (records, clusters)
+  }
+}

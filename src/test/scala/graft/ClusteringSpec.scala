@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Dbscan, DistributedDbscan}
+
+/** Clustering parity with the reference.
+  * References: tests/test_gps.py:552-580 (home/work at exactly
+  * 40.00015, -45.0 from the 7-row fixture ×100), gscap/gps.py:1823-1826
+  * (eps 0.005 degrees euclidean, min_samples 100), tests/test_gps.py:48-56 +
+  * 76-92 (gen_cluster home/work layout).
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** tests/some_gps.csv lat values ×100 at one timestamp (test_gps.py:552-566). */
+  private val fixtureLats = Seq(40.0, 40.0001, 40.0002, 40.0003, 40.01, 40.02, 40.03)
+
+  test("DBSCAN: 700-point fixture clusters and sklearn-order labels") {
+    val pts = (0 until 100).flatMap(_ => fixtureLats).map(l => (l, -45.0)).toArray
+    val labels = Dbscan.run(pts, 0.005, 100)
+    // {40.0..40.0003} merge into one cluster (label 0, first core at index 0);
+    // 40.01/40.02/40.03 are 100-point clusters of identical coords
+    assert(labels.length === 700)
+    assert(labels.toSet === Set(0, 1, 2, 3))
+    assert(labels(0) === 0 && labels(1) === 0 && labels(2) === 0 && labels(3) === 0)
+    assert(labels(4) === 1 && labels(5) === 2 && labels(6) === 3)
+    assert(Dbscan.topCluster(labels) === Some(0))
+  }
+
+  test("estimate-home semantics: top cluster center = (40.00015, -45.0) (test_gps.py:552-566)") {
+    val rows = (0 until 100).flatMap(_ => fixtureLats).zipWithIndex.map { case (l, i) =>
+      Clustering.EnrichedPoint(1L, i.toLong, Timestamp.valueOf("2005-01-01 04:04:00"), l, -45.0, "stationary")
+    }
+    val (records, clusters) = Clustering.contextForUser(1L, rows, 0.005, 100, 500.0)
+    val home = clusters.find(_.cid == "home").get
+    assert(home.lat === 40.00015)
+    assert(home.lon === -45.0)
+    assert(home.name === "home")
+    // fence: every fixture point is within 500 m of (40.00015, -45) except 40.01+?
+    // 40.01 is ~1.1 km away → not home
+    val homeIds = records.filter(_.cid == "home").map(_.lat).toSet
+    assert(homeIds === Set(40.0, 40.0001, 40.0002, 40.0003))
+    // record count conservation (gps.py:1241)
+    assert(records.length === 700)
+  }
+
+  test("work sanity: 9-17 weekday fixture yields work cluster (test_gps.py:568-580)") {
+    // 2005-01-03 is a Monday
+    val rows = (0 until 100).flatMap(_ => fixtureLats).zipWithIndex.map { case (l, i) =>
+      Clustering.EnrichedPoint(1L, i.toLong, Timestamp.valueOf("2005-01-03 12:04:00"), l, -45.0, "stationary")
+    }
+    val (_, clusters) = Clustering.contextForUser(1L, rows, 0.005, 100, 500.0)
+    val work = clusters.find(_.cid == "work").get
+    assert(work.lat === 40.00015)
+    assert(work.lon === -45.0)
+    assert(clusters.exists(_.cid == "home") === false) // no night hours present
+  }
+
+  test("gen_cluster-style fixture: home and work separated and labeled (test_gps.py:48-56)") {
+    // deterministic LCG jitter ±2e-4 — same layout as the reference generator:
+    // home at (0,0) hours 1-6,18-23; work at (0.5,0.5) hours 8-11,13-16
+    var seed = 42L
+    def next(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 4e-4 }
+    var id = 0L
+    def gen(lat: Double, lon: Double, hours: Seq[Int]) =
+      for (d <- 1 to 6; h <- hours; m <- 0 until 60 by 3) yield {
+        id += 1
+        Clustering.EnrichedPoint(7L, id, Timestamp.valueOf(f"2019-01-0$d $h%02d:$m%02d:00"), lat + next(), lon + next(), "stationary")
+      }
+    val rows = gen(0.0, 0.0, Seq(1,2,3,4,5,18,19,20,21,22,23)) ++ gen(0.5, 0.5, Seq(8,9,10,11,13,14,15,16))
+    val (records, clusters) = Clustering.contextForUser(7L, rows, 0.005, 100, 500.0)
+    val home = clusters.find(_.cid == "home").get
+    val work = clusters.find(_.cid == "work").get
+    assert(math.abs(home.lat) < 1e-3 && math.abs(home.lon) < 1e-3)
+    assert(math.abs(work.lat - 0.5) < 1e-3 && math.abs(work.lon - 0.5) < 1e-3)
+    // all home-site points fenced to home, work-site points to work
+    assert(records.count(_.cid == "home") > 0)
+    assert(records.count(_.cid == "work") > 0)
+    assert(records.length === rows.length)
+    // referential integrity (gps.py:1256-1261): record cids ⊆ cluster cids + xNot
+    val rc = records.map(_.cid).toSet - "xNot"
+    assert(rc.subsetOf(clusters.map(_.cid).toSet))
+  }
+
+  test("distance_from_home measured from rounded home center (gps.py:1264-1270)") {
+    val rows = (0 until 100).flatMap(_ => fixtureLats).zipWithIndex.map { case (l, i) =>
+      Clustering.EnrichedPoint(1L, i.toLong, Timestamp.valueOf("2005-01-01 04:04:00"), l, -45.0, "stationary")
+    }
+    val (records, _) = Clustering.contextForUser(1L, rows, 0.005, 100, 500.0)
+    val r40 = records.find(_.lat == 40.0).get
+    assert(math.abs(r40.distance_from_home.get - Clustering.haversine(40.00015, -45.0, 40.0, -45.0)) < 1e-9)
+  }
+
+  test("np.percentile fraction quirk and npRound half-even") {
+    // percentile(q in PERCENT): the reference passes 0.25/0.75 as percents
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    assert(Clustering.percentile(vals, 25.0) === 2.0)
+    assert(math.abs(Clustering.percentile(vals, 0.25) - 1.01) < 1e-12)
+    assert(Clustering.npRound(0.5, 0) === 0.0) // half-even
+    assert(Clustering.npRound(1.5, 0) === 2.0)
+    assert(Clustering.npRound(2.5, 0) === 2.0)
+  }
+
+  test("distributed DBSCAN matches exact DBSCAN partitions") {
+    var seed = 7L
+    def next(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 4e-3 }
+    // three blobs of 60 + 30 noise points
+    val blobs = Seq((0.0, 0.0), (0.1, 0.1), (-0.2, 0.05)).flatMap { case (la, lo) =>
+      (0 until 60).map(_ => (la + next(), lo + next()))
+    }
+    val noise = (0 until 30).map(i => (5.0 + i * 0.3, 5.0 - i * 0.2))
+    val pts = (blobs ++ noise).toArray
+    val exact = Dbscan.run(pts, 0.005, 20)
+    val df = pts.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }.toSeq.toDF("id", "lat", "lon")
+    val dist = DistributedDbscan.run(df, 0.005, 20).collect()
+      .map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+    // same noise set
+    assert(pts.indices.filter(exact(_) == -1).toSet === pts.indices.filter(dist(_) == -1).toSet)
+    // same partition structure (label values may differ)
+    val exactGroups = pts.indices.filter(exact(_) != -1).groupBy(exact(_)).values.map(_.toSet).toSet
+    val distGroups  = pts.indices.filter(dist(_) != -1).groupBy(dist(_)).values.map(_.toSet).toSet
+    assert(exactGroups === distGroups)
+  }
+
+  test("spark wiring: clustersWithContext runs per user") {
+    val rows = (0 until 100).flatMap(_ => fixtureLats).zipWithIndex.flatMap { case (l, i) =>
+      Seq(
+        Clustering.EnrichedPoint(1L, i.toLong, Timestamp.valueOf("2005-01-01 04:04:00"), l, -45.0, "stationary"),
+        Clustering.EnrichedPoint(2L, i.toLong, Timestamp.valueOf("2005-01-01 04:04:00"), l + 1.0, -46.0, "stationary"))
+    }
+    val df = rows.toDF()
+    val (records, clusters) = Clustering.clustersWithContext(df)
+    val cl = clusters.collect()
+    assert(cl.count(_.cid == "home") === 2)
+    assert(cl.find(c => c.user_id == 1L && c.cid == "home").get.lat === 40.00015)
+    assert(cl.find(c => c.user_id == 2L && c.cid == "home").get.lat === 41.00015)
+    assert(records.count() === rows.length)
+  }
+}
