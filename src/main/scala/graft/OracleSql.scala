@@ -36,6 +36,19 @@ object OracleSql {
   val wlat = s"($hlat + 4e-3)"
   val wlon = s"($hlon + 4e-3)"
 
+  /** Twin of Weather.quantileNearest: nearest-interpolation percentile with
+    * numpy's round-half-even index ties, over a DuckDB list expression.
+    * `q` must be a binary-exact fraction string like "0.25".
+    */
+  def qNearestSql(listExpr: String, q: String): String = {
+    val pos = s"(${q}e0 * CAST(len($listExpr) - 1 AS DOUBLE))"
+    val r   = s"floor($pos)"
+    val idx = s"(CASE WHEN ($pos - $r) > 0.5e0 THEN $r + 1e0" +
+      s" WHEN ($pos - $r) < 0.5e0 THEN $r" +
+      s" ELSE (CASE WHEN $r % 2e0 = 0e0 THEN $r ELSE $r + 1e0 END) END)"
+    s"(list_sort($listExpr)[CAST($idx AS BIGINT) + 1])"
+  }
+
   /** The GPS stream CTE (twin of Tables.gps). */
   val gpsCte: String = graft.sources.Tables.gpsCte.stripPrefix("WITH ")
 

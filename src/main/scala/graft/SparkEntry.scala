@@ -201,6 +201,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_points"),
           sum(when(col("event_id") === -1L, 1L).otherwise(0L)).as("n_imputed"))),
 
+    // ---- weather enrichment (G10/J3/G11, gscap/weather.py:349-402) ------
+    "weather_daily" -> ((s, d) => {
+      val out = operators.Weather.dailySummary(Tables.weatherHourly(s, d))
+      val stdCols = Seq("cloud_cover_std", "dew_point_std", "humidity_std", "temp_std")
+      stdCols.foldLeft(out)((df, c) => df.withColumn(c, bround(col(c), 4)))
+        .withColumn("date", col("date").cast("timestamp"))
+    }),
+    "weather_cache" -> ((s, d) => {
+      val reqs = Tables.weatherHourly(s, d).select("zipcode", "date").distinct()
+      val cache = reqs.where(dayofmonth(col("date")) <= 15)
+        .withColumn("cached_report", lit("hit"))
+      val joined = operators.Weather.cacheLookup(reqs, cache, Seq("zipcode", "date"))
+      operators.Weather.hitMissCounts(joined, "cached_report", Seq("zipcode"))
+    }),
+
     // ---- document pipeline ----------------------------------------------
     "doc_dups" -> ((s, d) =>
       Tables.documents(s, d)
@@ -409,6 +424,32 @@ object SparkEntry {
            |SELECT a.id AS id1, b.id AS id2,
            |  round(${hav("a.lat", "a.lon", "b.lat", "b.lon")}, 1) AS distance
            |FROM u a JOIN u b ON a.id < b.id""".stripMargin,
+
+      "weather_daily" -> {
+        import OracleSql.qNearestSql
+        val vars = Seq(("cloud_cover", "cloud_cover"), ("dew_point", "dew_point"),
+          ("humidity", "humidity"), ("temperature", "temp"))
+        val statCols = vars.map { case (c, o) =>
+          s"""  avg($c) AS ${o}_mean,
+             |  round(stddev_pop($c), 4) AS ${o}_std,
+             |  ${qNearestSql(s"list($c)", "0.5")} AS ${o}_median,
+             |  ${qNearestSql(s"list($c)", "0.75")} - ${qNearestSql(s"list($c)", "0.25")} AS ${o}_IQR""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${graft.sources.Tables.weatherHourlyCte}
+           |SELECT zipcode, lat, lon, CAST("date" AS TIMESTAMP) AS "date",
+           |$statCols,
+           |  CAST(coalesce(sum(precip_intensity), 0) AS DOUBLE) AS precip_sum
+           |FROM wh GROUP BY zipcode, lat, lon, "date"""".stripMargin
+      },
+      "weather_cache" ->
+        s"""WITH ${graft.sources.Tables.weatherHourlyCte},
+           |reqs AS (SELECT DISTINCT zipcode, "date" FROM wh),
+           |cache AS (SELECT *, 'hit' AS cached_report FROM reqs WHERE day("date") <= 15)
+           |SELECT r.zipcode,
+           |  CAST(sum(CASE WHEN c.cached_report IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(sum(CASE WHEN c.cached_report IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS misses
+           |FROM reqs r LEFT JOIN cache c ON r.zipcode = c.zipcode AND r."date" = c."date"
+           |GROUP BY r.zipcode""".stripMargin,
 
       "doc_dups" ->
         """SELECT md5(substr(text, 1, 40)) AS prefix_hash,

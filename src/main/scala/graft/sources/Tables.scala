@@ -57,6 +57,40 @@ object Tables {
     )
   }
 
+  /** Deterministic hourly-weather stream derived from `events` (the
+    * pre-materialized stand-in for the reference's DarkSky source, A6).
+    * Metrics are INTEGER-scaled (temp10 = tenths of a degree, etc.) so that
+    * aggregate means are exact cross-engine; decimal scaling is presentation.
+    */
+  def weatherHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    e.select(
+      (col("user_id") + 10000L).as("zipcode"),
+      (lit(40.0) + (col("user_id") % 5).cast("double") * 1e-2).as("lat"),
+      (lit(-75.0) + (col("user_id") % 3).cast("double") * 1e-2).as("lon"),
+      col("ts").cast("date").as("date"),
+      (col("event_id") % 200).as("temperature"),
+      ((col("event_id") * 3) % 100).as("humidity"),
+      ((col("event_id") * 7) % 100).as("cloud_cover"),
+      ((col("event_id") * 11) % 150).as("dew_point"),
+      ((col("event_id") * 13) % 20).as("precip_intensity"))
+  }
+
+  /** SQL twin of [[weatherHourly]]. */
+  val weatherHourlyCte: String =
+    """wh AS (
+      |  SELECT user_id + 10000 AS zipcode,
+      |    4e1 + CAST(user_id % 5 AS DOUBLE) * 1e-2 AS lat,
+      |    -75e0 + CAST(user_id % 3 AS DOUBLE) * 1e-2 AS lon,
+      |    CAST(ts AS DATE) AS "date",
+      |    event_id % 200 AS temperature,
+      |    (event_id * 3) % 100 AS humidity,
+      |    (event_id * 7) % 100 AS cloud_cover,
+      |    (event_id * 11) % 150 AS dew_point,
+      |    (event_id * 13) % 20 AS precip_intensity
+      |  FROM events
+      |)""".stripMargin
+
   /** SQL twin of [[gps]] — prepended as a CTE to every GPS-query oracle.
     * Literals use e-notation so DuckDB types them DOUBLE (not DECIMAL);
     * expression shapes/association match the Column forms exactly.
