@@ -52,6 +52,46 @@ object OracleSql {
   /** The GPS stream CTE (twin of Tables.gps). */
   val gpsCte: String = graft.sources.Tables.gpsCte.stripPrefix("WITH ")
 
+  /** Pages CTEs (twin of ingest.Pages.pagesFromGps + extractText): emits
+    * `ptext(url, warc_ts, lang, text)`. DuckDB regexp_replace needs the 'g'
+    * flag to match Spark's replace-all semantics; patterns restricted to the
+    * Java-regex ∩ RE2 subset.
+    */
+  val pagesCtes: String = {
+    val cell12 = Grid.cellSql("lat", "lon", 12)
+    val place  = s"'place_' || CAST($cell12 AS VARCHAR)"
+    val latu   = "CAST(round(lat * 1e6, 0) AS BIGINT)"
+    val lonu   = "CAST(round(lon * 1e6, 0) AS BIGINT)"
+    val html   =
+      s"""'<html><head><title>' || $place || '</title>' ||
+         |      '<style>body { color: red; }</style></head><body>' || chr(10) ||
+         |      '  <h1>Field report</h1>' || chr(10) ||
+         |      '  <p>Observed near <a href="/p?q=1&amp;r=2">' || $place ||
+         |      '</a> at loc:' || CAST($latu AS VARCHAR) || ',' || CAST($lonu AS VARCHAR) ||
+         |      '.</p>' || chr(10) || '  <script>var tracking = "<p>";</script>' || chr(10) ||
+         |      '</body></html>'""".stripMargin
+    s"""pages AS (
+       |  SELECT 'https://example.org/' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id AS VARCHAR) AS url,
+       |    ts AS warc_ts,
+       |    CASE WHEN event_id % 17 = 0 THEN 'de' WHEN event_id % 23 = 0 THEN 'fr' ELSE 'en' END AS lang,
+       |    $html AS html_s
+       |  FROM gps
+       |),
+       |ptext AS (
+       |  SELECT url, warc_ts, lang,
+       |    trim(regexp_replace(
+       |      replace(replace(replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(html_s, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+       |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+       |          '<[^>]*>', ' ', 'g'),
+       |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+       |      '\\s+', ' ', 'g')) AS text
+       |  FROM pages
+       |)""".stripMargin
+  }
+
   /** Velocity pipeline CTEs (twin of Motion.processVelocities): emits
     * relation `vel(user_id, event_id, ts, lat, lon, binning, displacement,
     * time_delta, velocity)`.

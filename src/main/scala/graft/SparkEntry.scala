@@ -201,6 +201,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_points"),
           sum(when(col("event_id") === -1L, 1L).otherwise(0L)).as("n_imputed"))),
 
+    // ---- pages: extraction + geocode + sleep (H12/H14/G6, north rule) ---
+    "pages_text" -> ((s, d) =>
+      ingest.Pages.pagesFromGps(Tables.gps(s, d))
+        .select(col("url"), col("lang"),
+          sha2(col("text"), 256).as("text_sha"),
+          length(col("text")).cast("long").as("n_chars"))),
+    "pages_geocode" -> ((s, d) =>
+      ingest.Pages.geocode(ingest.Pages.pagesFromGps(Tables.gps(s, d)))
+        .groupBy(Grid.cell(col("lat"), col("lon"), 12).as("cell"))
+        .agg(count(lit(1)).as("n_pages"), countDistinct("url").as("n_urls"))),
+    "gps_sleep" -> ((s, d) =>
+      DailyFeatures.sleepEstimate(
+        Tables.gps(s, d).withColumn("date", col("ts").cast("date")))
+        .withColumn("date", col("date").cast("timestamp"))),
+
     // ---- weather enrichment (G10/J3/G11, gscap/weather.py:349-402) ------
     "weather_daily" -> ((s, d) => {
       val out = operators.Weather.dailySummary(Tables.weatherHourly(s, d))
@@ -425,6 +440,54 @@ object SparkEntry {
            |  round(${hav("a.lat", "a.lon", "b.lat", "b.lon")}, 1) AS distance
            |FROM u a JOIN u b ON a.id < b.id""".stripMargin,
 
+      "pages_text" ->
+        s"""WITH $gpsCte, ${OracleSql.pagesCtes}
+           |SELECT url, lang, sha256(text) AS text_sha,
+           |       CAST(length(text) AS BIGINT) AS n_chars
+           |FROM ptext""".stripMargin,
+      "pages_geocode" -> {
+        val rl = "CAST(TRY_CAST(regexp_extract(text, 'loc:(-?\\d+),(-?\\d+)', 1) AS BIGINT) AS DOUBLE) / 1e6"
+        val rn = "CAST(TRY_CAST(regexp_extract(text, 'loc:(-?\\d+),(-?\\d+)', 2) AS BIGINT) AS DOUBLE) / 1e6"
+        s"""WITH $gpsCte, ${OracleSql.pagesCtes},
+           |geo AS (
+           |  SELECT url, $rl AS lat, $rn AS lon FROM ptext
+           |  WHERE TRY_CAST(regexp_extract(text, 'loc:(-?\\d+),(-?\\d+)', 1) AS BIGINT) IS NOT NULL
+           |)
+           |SELECT ${Grid.cellSql("lat", "lon", 12)} AS cell,
+           |       count(*) AS n_pages, count(DISTINCT url) AS n_urls
+           |FROM geo GROUP BY 1""".stripMargin
+      },
+      "gps_sleep" -> {
+        val distPrev = hav("fpos_lat", "fpos_lon", "plast_lat", "plast_lon")
+        s"""WITH $gpsCte,
+           |fr AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS "date", ts AS first_ts,
+           |         lat AS fpos_lat, lon AS fpos_lon
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+           |          ORDER BY ts ASC, event_id ASC) AS rn FROM gps) t WHERE rn = 1
+           |),
+           |lr AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS "date", ts AS last_ts,
+           |         lat AS lpos_lat, lon AS lpos_lon
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+           |          ORDER BY ts DESC, event_id ASC) AS rn FROM gps) t WHERE rn = 1
+           |),
+           |pd AS (SELECT fr.*, lr.last_ts, lr.lpos_lat, lr.lpos_lon
+           |       FROM fr JOIN lr ON fr.user_id = lr.user_id AND fr."date" = lr."date"),
+           |lagged AS (
+           |  SELECT *, lag(last_ts) OVER w AS plast_ts,
+           |    lag(lpos_lat) OVER w AS plast_lat, lag(lpos_lon) OVER w AS plast_lon
+           |  FROM pd WINDOW w AS (PARTITION BY user_id ORDER BY "date")
+           |)
+           |SELECT user_id, CAST("date" AS TIMESTAMP) AS "date",
+           |  CAST((epoch_us(first_ts) // 1000000 - epoch_us(CAST("date" AS TIMESTAMP)) // 1000000)
+           |    + (CASE WHEN plast_ts IS NOT NULL
+           |            AND (epoch_us(first_ts) // 1000000 - epoch_us(plast_ts) // 1000000) <= 86400
+           |            AND $distPrev <= 5e2
+           |       THEN (epoch_us(CAST("date" AS TIMESTAMP)) // 1000000 - epoch_us(plast_ts) // 1000000) % 86400
+           |       ELSE 0 END) AS DOUBLE) / 36e2 AS hours_of_sleep
+           |FROM lagged""".stripMargin
+      },
       "weather_daily" -> {
         import OracleSql.qNearestSql
         val vars = Seq(("cloud_cover", "cloud_cover"), ("dew_point", "dew_point"),

@@ -215,6 +215,49 @@ object Clustering {
     (records, clusters.toSeq)
   }
 
+  /** Next-phase clusters (get_next_phase_clusters, gps.py:1507-1561): per
+    * day, cluster the still-unlabeled stationary points that are ≥
+    * minDistance from every existing cluster center; new cids continue the
+    * x<k> numbering where phase 1 left off. The exclusion set is the
+    * PRE-EXISTING cluster centers only — the reference fixes
+    * cur_cluster_set before its day loop (gps.py:1520), so clusters minted
+    * by earlier days do not exclude later days' candidates.
+    */
+  def nextPhaseForUser(records: Seq[LabeledRecord], clusters: Seq[ClusterRow],
+                       eps: Double, minSamples: Int, minDistance: Double)
+      : (Seq[LabeledRecord], Seq[ClusterRow]) = {
+    val cids = mutable.HashMap.empty[Long, String] ++ records.map(r => r.event_id -> r.cid)
+    val newClusters = mutable.ArrayBuffer.empty[ClusterRow]
+    var nextCid = {
+      val ints = records.flatMap(r => if (r.cid.startsWith("x") && r.cid.drop(1).forall(_.isDigit))
+        Some(r.cid.drop(1).toInt) else None)
+      if (ints.nonEmpty) ints.max + 1 else 0
+    }
+    val centers = clusters.map(c => (c.lat, c.lon))
+
+    val user = records.headOption.map(_.user_id).getOrElse(0L)
+    val byDay = records
+      .filter(r => r.cid == "xNot" && r.binning == "stationary")
+      .groupBy(_.ts.toLocalDateTime.toLocalDate)
+    byDay.keys.toSeq.sorted.foreach { day =>
+      val candidates = byDay(day).filter(r =>
+        !centers.exists { case (cl, co) => haversine(r.lat, r.lon, cl, co) < minDistance })
+      val labels = Dbscan.run(candidates.map(r => (r.lat, r.lon)).toArray, eps, minSamples)
+      val found = labels.distinct.filter(_ != -1).sorted
+      if (found.nonEmpty) {
+        candidates.indices.foreach { i =>
+          if (labels(i) != -1) cids(candidates(i).event_id) = s"x${nextCid + labels(i)}"
+        }
+        found.foreach { l =>
+          val members = candidates.indices.filter(labels(_) == l).map(i => (candidates(i).lat, candidates(i).lon))
+          newClusters += centerStats(user, s"x${nextCid + l}", members)
+        }
+        nextCid += found.length
+      }
+    }
+    (records.map(r => r.copy(cid = cids(r.event_id))), clusters ++ newClusters)
+  }
+
   /** Distributed wiring: one shuffle on user_id; all sequential reference
     * semantics run inside each group.
     */

@@ -91,6 +91,43 @@ object DailyFeatures {
         when(col("n_clusters") > 1, bround(col("entropy") / log(col("n_clusters").cast("double")), 6)))
   }
 
+  /** Sleep-hours estimate (gps.py:1462-1501): per (user, date), hours from
+    * midnight to the first fix, plus carry-in from the previous day's last
+    * fix when that fix is <24 h away (total seconds) and ≤500 m displaced —
+    * the carry-in interval uses Python timedelta.seconds (mod 86400, here
+    * always <24 h anyway). The cross-day dependency is a lag over the tiny
+    * per-day frame, not the point table.
+    */
+  def sleepEstimate(points: DataFrame): DataFrame = {
+    // first/last rows of each day; ties on ts break to the SMALLEST event
+    // order — the reference takes .iloc[0] of the matching rows
+    // (gps.py:1468,1492)
+    val wAsc  = Window.partitionBy("user_id", "date").orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("user_id", "date").orderBy(col("ts").desc, col("event_id").asc)
+    val firsts = points.withColumn("rn", row_number().over(wAsc)).where(col("rn") === 1)
+      .select(col("user_id"), col("date"), col("ts").as("first_ts"),
+        col("lat").as("f_lat"), col("lon").as("f_lon"))
+    val lasts = points.withColumn("rn", row_number().over(wDesc)).where(col("rn") === 1)
+      .select(col("user_id"), col("date"), col("ts").as("last_ts"),
+        col("lat").as("l_lat"), col("lon").as("l_lon"))
+    val perDay = firsts.join(lasts, Seq("user_id", "date"))
+
+    val w = Window.partitionBy("user_id").orderBy("date")
+    val pLastTs  = lag("last_ts", 1).over(w)
+    val pLat     = lag("l_lat", 1).over(w)
+    val pLon     = lag("l_lon", 1).over(w)
+    val midnight = col("date").cast("timestamp")
+    val gapOk  = (unix_timestamp(col("first_ts")) - unix_timestamp(pLastTs)) <= 24L * 3600L
+    val distOk = Geo.haversineMeters(col("f_lat"), col("f_lon"), pLat, pLon) <= 500.0
+    val lnSecs = when(pLastTs.isNotNull && gapOk && distOk,
+      pmod(unix_timestamp(midnight) - unix_timestamp(pLastTs), lit(86400L))).otherwise(0L)
+
+    perDay.select(
+      col("user_id"), col("date"),
+      (((unix_timestamp(col("first_ts")) - unix_timestamp(midnight)) + lnSecs).cast("double") / 3600.0)
+        .as("hours_of_sleep"))
+  }
+
   /** Radius of gyration per (user, date): sqrt(Σ d(point, centroid)²/n) with
     * haversine distance to the daily mean-coordinate centroid. Two-phase:
     * centroid agg, broadcast-join back, second agg — the standard

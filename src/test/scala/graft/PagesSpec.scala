@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ingest.Pages
+
+/** North-rule checks: deterministic page synthesis, byte-identical frozen
+  * extractor (sha2-pinned), geocode round-trip.
+  */
+class PagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gps = Seq((3L, 42L, Timestamp.valueOf("2024-01-02 03:04:05"), 40.03, -75.01))
+    .toDF("user_id", "event_id", "ts", "lat", "lon")
+
+  test("extractor output is byte-exact for the canonical page") {
+    val r = Pages.pagesFromGps(gps).select("url", "text").head
+    assert(r.getString(0) === "https://example.org/3/42")
+    // cell id at res 12: y=floor((40.03+90)/180*4096)=2958, x=floor((-75.01+180)/360*4096)=1194
+    val cell = graft.functions.Grid.cellId(40.03, -75.01, 12)
+    assert(r.getString(1) ===
+      s"place_$cell Field report Observed near place_$cell at loc:40030000,-75010000.")
+  }
+
+  test("extractor is deterministic: sha2 stable across evaluations") {
+    val a = Pages.pagesFromGps(gps).select(sha2(col("text"), 256)).head.getString(0)
+    val b = Pages.pagesFromGps(gps).select(sha2(col("text"), 256)).head.getString(0)
+    assert(a === b && a.length === 64)
+  }
+
+  test("script/style content and tags are removed; entities decoded") {
+    val html = """<html><body><p>a &amp; b &lt;c&gt;</p><script>bad()</script><style>x{}</style> d</body></html>"""
+    val out = Seq(Tuple1(html)).toDF("h")
+      .select(Pages.extractText(encode(col("h"), "UTF-8"))).head.getString(0)
+    assert(out === "a & b <c> d")
+  }
+
+  test("geocode recovers microdegree coordinates from extracted text") {
+    val g = Pages.geocode(Pages.pagesFromGps(gps)).select("lat", "lon").head
+    assert(g.getDouble(0) === 40.03)
+    assert(g.getDouble(1) === -75.01)
+  }
+
+  test("pages schema matches the input hint (url, warc_ts, html, text, lang)") {
+    val p = Pages.pagesFromGps(gps)
+    assert(p.schema.map(f => (f.name, f.dataType.simpleString)) === Seq(
+      ("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+      ("text", "string"), ("lang", "string")))
+  }
+}
