@@ -216,6 +216,20 @@ object SparkEntry {
         Tables.gps(s, d).withColumn("date", col("ts").cast("date")))
         .withColumn("date", col("date").cast("timestamp"))),
 
+    // ---- POI normalization (H6/H8, gscap/gps.py:215-257) ----------------
+    "poi_yelp" -> ((s, d) => {
+      val aliases = SparkEntry.YelpAliases.map(_._1)
+      val a1 = element_at(typedlit(aliases), (col("event_id") % 6).cast("int") + 1)
+      val a2 = element_at(typedlit(aliases), ((col("event_id") * 5 + 1) % 6).cast("int") + 1)
+      val content = concat(lit("""{"businesses": [{"name": "B"""), col("event_id"),
+        lit("""", "categories": [{"alias": """"), a1, lit(""""}, {"alias": """"), a2,
+        lit(""""}]}]}"""))
+      operators.Poi.parseYelp(
+        Tables.events(s, d).select(col("event_id"), content.as("content")),
+        SparkEntry.YelpAliases.toMap)
+        .select("event_id", "name", "rank_order", "categories", "major_categories")
+    }),
+
     // ---- weather enrichment (G10/J3/G11, gscap/weather.py:349-402) ------
     "weather_daily" -> ((s, d) => {
       val out = operators.Weather.dailySummary(Tables.weatherHourly(s, d))
@@ -263,6 +277,13 @@ object SparkEntry {
         .select("query_id", "vec_id", "rank")
     })
   )
+
+  /** Synthetic Yelp alias dim for the poi_yelp query (reference ships the
+    * full yelp_mappings.txt; semantics identical).
+    */
+  val YelpAliases: Seq[(String, String)] = Seq(
+    "banks" -> "finance", "bars" -> "dining_out", "coffee" -> "dining_out",
+    "gyms" -> "health", "plumbing" -> "home_services", "tacos" -> "dining_out")
 
   def oracleSql: Map[String, String] = {
     import OracleSql.{gpsCte, labCtes, velCtes, visitCtes}
@@ -440,6 +461,29 @@ object SparkEntry {
            |  round(${hav("a.lat", "a.lon", "b.lat", "b.lon")}, 1) AS distance
            |FROM u a JOIN u b ON a.id < b.id""".stripMargin,
 
+      "poi_yelp" -> {
+        val aliasCase =
+          "(CASE e %% 6 " + YelpAliases.zipWithIndex.map { case ((a, _), i) => s"WHEN $i THEN '$a'" }.mkString(" ") + " END)"
+        val mapCase = (x: String) =>
+          "(CASE " + x + " " + YelpAliases.map { case (a, m) => s"WHEN '$a' THEN '$m'" }.mkString(" ") + " END)"
+        s"""WITH base AS (
+           |  SELECT event_id,
+           |    ${aliasCase.replace("e %%", "event_id %")} AS a1,
+           |    ${aliasCase.replace("e %%", "(event_id * 5 + 1) %")} AS a2
+           |  FROM events
+           |),
+           |mapped AS (
+           |  SELECT event_id, a1, a2, ${mapCase("a1")} AS m1, ${mapCase("a2")} AS m2 FROM base
+           |)
+           |SELECT event_id,
+           |  'B' || CAST(event_id AS VARCHAR) AS name,
+           |  0 AS rank_order,
+           |  a1 || ', ' || a2 AS categories,
+           |  CASE WHEN m1 = 'dining_out' OR m2 = 'dining_out' THEN 'dining_out'
+           |       WHEN m1 = m2 THEN m1
+           |       ELSE least(m1, m2) END AS major_categories
+           |FROM mapped""".stripMargin
+      },
       "pages_text" ->
         s"""WITH $gpsCte, ${OracleSql.pagesCtes}
            |SELECT url, lang, sha256(text) AS text_sha,

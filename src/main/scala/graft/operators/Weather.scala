@@ -32,7 +32,7 @@ object Weather {
     val idx  = when(frac > 0.5, r + 1)
       .when(frac < 0.5, r)
       .otherwise(when(r % 2 === 0, r).otherwise(r + 1))
-    element_at(arr, idx.cast("int") + 1)
+    try_element_at(arr, idx.cast("int") + lit(1))
   }
 
   /** Daily summary of hourly reports. Input columns: zipcode, lat, lon,
