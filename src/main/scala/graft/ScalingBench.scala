@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Grid
+import graft.ingest.Pages
+import graft.sources.Tables
+
+/** Two-parallelism scaling evidence (north rule: throughput scaling
+  * efficiency ≥0.8 from N to 4N executors; sandbox proxy = local[8] vs
+  * local[32] on the same input, per BASELINE.md).
+  *
+  * The measured job is the headline pipeline: pages (synthesized, replicated
+  * ×REPL for a meaningful runtime) → frozen text extraction → geocode →
+  * grid-cell encode → broadcast point-in-polygon join → per-tile feature
+  * aggregation. Reported metric: pages/sec at each parallelism + efficiency
+  * = (T_small/T_big)/(big/small cores).
+  *
+  * Usage: runMain graft.ScalingBench [sfDir] [replication]
+  */
+object ScalingBench {
+
+  def buildSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The headline job; returns the number of pages pushed through. */
+  def runJob(spark: SparkSession, sfDir: String, repl: Int): Long = {
+    // replicate the GPS stream deterministically to scale page volume
+    // the toy source is a single small parquet file (1-2 input splits); a
+    // 100 TB table arrives in thousands of row-group splits, so emulate that
+    // here: spread the BASE stream across the slots BEFORE the replicating
+    // explode (repartitioning afterwards would funnel the full replicated
+    // volume through the 2 source tasks — a serial section)
+    val gps = Tables.gps(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .withColumn("rep", explode(sequence(lit(0), lit(repl - 1))))
+      .withColumn("event_id", col("event_id") * repl + col("rep"))
+      .drop("rep")
+    val pages = Pages.pagesFromGps(gps)
+    val geo = Pages.geocode(pages)
+      .withColumn("cell", Grid.cell(col("lat"), col("lon"), 15))
+      .withColumn("tile_id", Grid.toParent(col("cell"), 15, 7))
+    val rects = Tables.region(spark, sfDir).select(
+      col("r_regionkey"),
+      (lit(40.0) + col("r_regionkey").cast("double") * 1e-2 - 2e-3).as("lat_min"),
+      (lit(40.0) + col("r_regionkey").cast("double") * 1e-2 + 6e-3).as("lat_max"),
+      lit(-76.0).as("lon_min"), lit(-74.0).as("lon_max"))
+    val joined = geo.join(broadcast(rects),
+      col("lat") >= col("lat_min") && col("lat") < col("lat_max") &&
+        col("lon") >= col("lon_min") && col("lon") < col("lon_max"), "left")
+    // hot-key discipline: a naive countDistinct(url) funnels every row of a
+    // hot tile into ONE final task (tiles are few and skewed — the exact
+    // trap the north rule calls out). Two-stage form instead: distinct on
+    // (keys, url) spreads by url hash; the per-tile count then combines
+    // map-side partials.
+    val stats = joined.groupBy("tile_id", "r_regionkey")
+      .agg(count(lit(1)).as("n_pages"), avg(length(col("text"))).as("mean_chars"))
+    val urls = joined.select("tile_id", "r_regionkey", "url").distinct()
+      .groupBy("tile_id", "r_regionkey").agg(count(lit(1)).as("n_urls"))
+    stats.join(urls, Seq("tile_id", "r_regionkey"), "left")
+      .write.mode("overwrite").format("noop").save()
+    // page count is base × repl by construction; recounting would re-run
+    // the replicating explode through the 2 source splits (serial)
+    Tables.events(spark, sfDir).count() * repl
+  }
+
+  def timeAt(cores: Int, sfDir: String, repl: Int): (Long, Double) = {
+    val spark = buildSession(cores)
+    try {
+      runJob(spark, sfDir, math.max(1, repl / 4)) // warm-up (JIT/codegen), smaller
+      val t0 = System.nanoTime()
+      val n  = runJob(spark, sfDir, repl)
+      (n, (System.nanoTime() - t0) / 1e9)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val repl  = if (args.length > 1) args(1).toInt else 20
+    val small = if (args.length > 2) args(2).toInt else 2
+    val big   = if (args.length > 3) args(3).toInt else 8
+    // the sandbox host is noisy (variable steal time), so interleave the two
+    // parallelism levels and take medians — noise then hits both equally
+    val rounds = 3
+    val samples = (1 to rounds).map { _ =>
+      (timeAt(small, sfDir, repl), timeAt(big, sfDir, repl))
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val n1 = samples.head._1._1
+    val n2 = samples.head._2._1
+    require(n1 == n2)
+    val tSmall = med(samples.map(_._1._2))
+    val tBig   = med(samples.map(_._2._2))
+    val thrSmall = n1 / tSmall
+    val thrBig   = n2 / tBig
+    val eff = (tSmall / tBig) / (big.toDouble / small)
+    println(f"""{"metric":"scaling","pages":$n1,"cores_small":$small,"cores_big":$big,""" +
+      f""""sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
+      f""""pages_per_sec_small":$thrSmall%.0f,"pages_per_sec_big":$thrBig%.0f,""" +
+      f""""speedup":${tSmall / tBig}%.2f,"efficiency":$eff%.3f,"sf":"$sfDir"}""")
+  }
+}

@@ -211,6 +211,12 @@ object SparkEntry {
       ingest.Pages.geocode(ingest.Pages.pagesFromGps(Tables.gps(s, d)))
         .groupBy(Grid.cell(col("lat"), col("lon"), 12).as("cell"))
         .agg(count(lit(1)).as("n_pages"), countDistinct("url").as("n_urls"))),
+    "media_features" -> ((s, d) =>
+      operators.Multimodal.mediaFeatures(
+        operators.Multimodal.mediaFromPages(
+          ingest.Pages.pagesFromGps(Tables.gps(s, d))))
+        .groupBy("media_type", "size_class")
+        .agg(count(lit(1)).as("n_media"), sum("n_bytes").as("total_bytes"))),
     "gps_sleep" -> ((s, d) =>
       DailyFeatures.sleepEstimate(
         Tables.gps(s, d).withColumn("date", col("ts").cast("date")))

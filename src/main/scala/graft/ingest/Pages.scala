@@ -40,8 +40,16 @@ object Pages {
       lit("</a> at loc:"), microDeg(lat).cast("string"), lit(","), microDeg(lon).cast("string"),
       lit(".</p>\n  <script>var tracking = \"<p>\";</script>\n</body></html>"))
 
-  /** The frozen extractor: html binary → text string. */
-  def extractText(html: Column): Column = {
+  /** The frozen extractor: html binary → text string. Production form is
+    * the single-pass codegen'd [[graft.functions.ExtractTextExpr]]; the
+    * regex chain below is kept as the executable SPECIFICATION (the DuckDB
+    * oracle evaluates the same chain) and tests assert both forms equal.
+    */
+  def extractText(html: Column): Column =
+    graft.functions.ExtractTextExpr(html)
+
+  /** Reference regex-chain form of the extractor (the frozen spec). */
+  def extractTextRegex(html: Column): Column = {
     val s  = decode(html, "UTF-8")
     val s1 = regexp_replace(s, "(?s)<script[^>]*>.*?</script>", " ")
     val s2 = regexp_replace(s1, "(?s)<style[^>]*>.*?</style>", " ")

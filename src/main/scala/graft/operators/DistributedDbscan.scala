@@ -10,100 +10,159 @@ import org.apache.spark.storage.StorageLevel
   * Same cluster definition as the reference configuration (euclidean on raw
   * degrees, eps-inclusive neighborhoods counting self, core = ≥ minSamples):
   *
-  *   1. bucket points into eps-sized grid cells → every eps-neighbor of a
-  *      point lives in the 3×3 cell ring, so the neighbor search is a
-  *      cell-EQUI join (explode the 9 probe cells on one side), never a
-  *      cartesian theta join;
-  *   2. core flags from the neighbor-count aggregation;
-  *   3. clusters = connected components over core-core eps-edges, found by
-  *      iterative min-component-id propagation (each round: one agg + one
-  *      join; persisted + localCheckpoint to cut lineage); converges in
-  *      O(graph diameter) rounds — eps-graphs of spatial data have tiny
-  *      diameters per component;
-  *   4. border points join the smallest component id among their core
-  *      neighbors (deterministic; cluster MEMBERSHIP matches single-node
-  *      DBSCAN exactly — only the tie choice for a border point reachable
-  *      from two clusters may differ, which single-node resolves by scan
-  *      order);
+  *   0. EXACT coordinate dedup: points sharing (lat, lon) have identical
+  *      neighborhoods and identical labels, so the neighbor graph is built
+  *      over distinct coordinates with multiplicities (GPS data is heavily
+  *      duplicate/lattice-valued; this collapses the quadratic blowup of
+  *      dense sites — the classic weighted-DBSCAN reduction, exact);
+  *   1. bucket distinct coords into eps-sized grid cells → every eps-neighbor
+  *      lives in the 3×3 cell ring, so the neighbor search is a cell-EQUI
+  *      join (explode 9 probe cells on one side), never a cartesian theta
+  *      join;
+  *   2. core flags from the multiplicity-weighted neighbor-count aggregation;
+  *   3. clusters = connected components over core-core eps-edges via
+  *      iterative min-component-id propagation (one agg + one join per
+  *      round, localCheckpoint to cut lineage); O(component diameter) rounds;
+  *   4. border coords join the smallest component id among their core
+  *      neighbors (membership matches single-node DBSCAN exactly; only the
+  *      tie choice for a border reachable from two clusters may differ,
+  *      which single-node resolves by scan order);
   *   5. labels canonicalized 0..k-1 by each component's minimum point id.
   *
-  * Scale notes: shuffle keys are grid cells; hot cells (skew) are handled by
-  * AQE skew-join splitting — and the 9× probe-side explode keeps per-key
-  * fanout bounded. Output: (id, label) with label = -1 for noise.
+  * Scale notes: shuffle keys are grid cells; AQE skew-join splits hot cells;
+  * the 9× probe-side explode bounds per-key fanout. All intermediates are
+  * unpersisted before returning.
   */
 object DistributedDbscan {
 
   def run(points: DataFrame, eps: Double = 0.005, minSamples: Int = 100): DataFrame = {
-    val spark = points.sparkSession
     val eps2 = eps * eps
 
     val pts = points.select(col("id").cast("long"), col("lat"), col("lon"))
+
+    // 0. exact dedup with multiplicities; uid = min point id at the coord
+    val uniq = pts.groupBy("lat", "lon")
+      .agg(min("id").as("uid"), count(lit(1)).as("w"))
       .withColumn("cy", floor(col("lat") / eps).cast("long"))
       .withColumn("cx", floor(col("lon") / eps).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // probe side: each point probes its 3×3 cell ring (equi-join keys)
-    val probes = pts.select(
-      col("id").as("a_id"), col("lat").as("a_lat"), col("lon").as("a_lon"),
+    // 1. probe the 3×3 cell ring (equi-join keys)
+    val probes = uniq.select(
+      col("uid").as("a_uid"), col("lat").as("a_lat"), col("lon").as("a_lon"),
       explode(array((for (dy <- -1 to 1; dx <- -1 to 1) yield
         struct((col("cy") + dy).as("cy"), (col("cx") + dx).as("cx"))): _*)).as("cell"))
-      .select(col("a_id"), col("a_lat"), col("a_lon"),
+      .select(col("a_uid"), col("a_lat"), col("a_lon"),
         col("cell.cy").as("cy"), col("cell.cx").as("cx"))
 
     val dlat = col("a_lat") - col("lat")
     val dlon = col("a_lon") - col("lon")
-    val pairs = probes.join(pts, Seq("cy", "cx"))
+    val pairs = probes.join(uniq.select("cy", "cx", "uid", "lat", "lon", "w"), Seq("cy", "cx"))
       .where(dlat * dlat + dlon * dlon <= eps2)
-      .select(col("a_id"), col("id").as("b_id"))
+      .select(col("a_uid"), col("uid").as("b_uid"), col("w").as("b_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val degrees = pairs.groupBy("a_id").agg(count(lit(1)).as("deg"))
-    val core = degrees.where(col("deg") >= minSamples).select(col("a_id").as("id"))
+    // 2. weighted degree → core coords
+    val core = pairs.groupBy("a_uid").agg(sum("b_w").as("deg"))
+      .where(col("deg") >= minSamples).select(col("a_uid").as("uid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // core-core edges (both directions retained for propagation)
-    val coreEdges = pairs
-      .join(core.withColumnRenamed("id", "a_id"), Seq("a_id"))
-      .join(core.withColumnRenamed("id", "b_id"), Seq("b_id"))
-      .select("a_id", "b_id")
+    // 3. core-core connectivity, CONTRACTED before CC: cores sharing an
+    // (eps/√2)-cell are pairwise within eps (cell diagonal = eps) → a
+    // clique, exactly contracted to star edges on the cell's min-uid
+    // representative; cross-cell eps-pairs collapse to distinct
+    // (repA, repB) edges. Connectivity is preserved exactly and the edge
+    // set shrinks from O(Σ clique²) to O(#cells + #cell adjacencies).
+    val side = eps / math.sqrt(2.0)
+    val coreCells = uniq.join(core, Seq("uid"))
+      .select(col("uid"),
+        floor(col("lat") / side).cast("long").as("gy"),
+        floor(col("lon") / side).cast("long").as("gx"))
+    val reps = coreCells.groupBy("gy", "gx").agg(min("uid").as("rep"))
+    val uidRep = coreCells.join(reps, Seq("gy", "gx")).select("uid", "rep")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val starEdges = uidRep.select(col("uid").as("a_uid"), col("rep").as("b_uid"))
+      .where(col("a_uid") =!= col("b_uid"))
+    val crossEdges = pairs
+      .where(col("a_uid") < col("b_uid"))
+      .join(uidRep.withColumnRenamed("uid", "a_uid").withColumnRenamed("rep", "repA"), Seq("a_uid"))
+      .join(uidRep.withColumnRenamed("uid", "b_uid").withColumnRenamed("rep", "repB"), Seq("b_uid"))
+      .where(col("repA") =!= col("repB"))
+      .select(col("repA").as("a_uid"), col("repB").as("b_uid"))
+      .distinct()
+    val coreEdges = starEdges.unionByName(crossEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // iterative min-label propagation over core points
-    var comp = core.select(col("id"), col("id").as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 50) {
-      val viaNeighbors = coreEdges
-        .join(comp.withColumnRenamed("id", "b_id").withColumnRenamed("comp", "nc"), Seq("b_id"))
-        .groupBy(col("a_id").as("id"))
-        .agg(min("nc").as("minNc"))
-      val next = comp.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("minNc"), col("comp"))).as("comp"))
+    // adaptive CC strategy (same spirit as the broadcast-join threshold):
+    // a small core-edge set is solved by driver-side union-find in one pass;
+    // a large one runs the distributed min-label propagation loop
+    val spark = points.sparkSession
+    val nEdges = coreEdges.count()
+    var comp: DataFrame = null
+    if (nEdges <= 5_000_000L) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      coreEdges.select("a_uid", "b_uid").collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      val roots = core.select("uid").as[Long].collect().map(u => (u, find(u)))
+      comp = roots.toSeq.toDF("uid", "comp")
+    } else {
+      comp = core.select(col("uid"), col("uid").as("comp"))
         .localCheckpoint(eager = true)
-      changed = next.join(comp.withColumnRenamed("comp", "old"), Seq("id"))
-        .where(col("comp") =!= col("old")).count()
-      comp.unpersist()
-      comp = next.persist(StorageLevel.MEMORY_AND_DISK)
-      iter += 1
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 50) {
+        val viaNeighbors = coreEdges
+          .join(comp.withColumnRenamed("uid", "b_uid").withColumnRenamed("comp", "nc"), Seq("b_uid"))
+          .groupBy(col("a_uid").as("uid"))
+          .agg(min("nc").as("minNc"))
+        // min-propagation + pointer-halving (comp ← comp(comp)) for
+        // O(log diameter) convergence
+        val prop = comp.join(viaNeighbors, Seq("uid"), "left")
+          .select(col("uid"), least(col("comp"), coalesce(col("minNc"), col("comp"))).as("comp"))
+        val halved = prop.as("p")
+          .join(prop.select(col("uid").as("comp"), col("comp").as("cc")).as("m"), Seq("comp"), "left")
+          .select(col("uid"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+          .localCheckpoint(eager = true)
+        changed = halved.join(comp.withColumnRenamed("comp", "old"), Seq("uid"))
+          .where(col("comp") =!= col("old")).count()
+        comp = halved
+        iter += 1
+      }
     }
 
-    // border points: smallest component among core neighbors
+    // 4. border coords: smallest component among core neighbors
     val borderComp = pairs
-      .join(core.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_anti") // a not core
-      .join(comp.withColumnRenamed("id", "b_id"), Seq("b_id"))              // b core w/ comp
-      .groupBy(col("a_id").as("id"))
+      .join(core.withColumnRenamed("uid", "a_uid"), Seq("a_uid"), "left_anti")
+      .join(comp.withColumnRenamed("uid", "b_uid"), Seq("b_uid"))
+      .groupBy(col("a_uid").as("uid"))
       .agg(min("comp").as("comp"))
 
     val assigned = comp.unionByName(borderComp)
 
-    // canonical labels: dense rank of component min-id
-    val compMin = assigned.groupBy("comp").agg(min("id").as("cmin"))
+    // 5. canonical labels by component minimum uid (= minimum point id)
+    val compMin = assigned.groupBy("comp").agg(min("uid").as("cmin"))
     val ranked = compMin.select(col("comp"),
       (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("cmin")) - 1).as("label"))
 
-    pts.select("id")
-      .join(assigned.join(ranked, Seq("comp")).select("id", "label"), Seq("id"), "left")
+    val coordLabels = uniq.select("lat", "lon", "uid")
+      .join(assigned.join(ranked, Seq("comp")).select("uid", "label"), Seq("uid"), "left")
+      .select(col("lat"), col("lon"), coalesce(col("label"), lit(-1)).cast("int").as("label"))
+
+    val out = pts.join(coordLabels, Seq("lat", "lon"), "left")
       .select(col("id"), coalesce(col("label"), lit(-1)).cast("int").as("label"))
+      .localCheckpoint(eager = true)
+
+    Seq(uniq, pairs, core, coreEdges, uidRep).foreach(_.unpersist(blocking = false))
+    out
   }
 }

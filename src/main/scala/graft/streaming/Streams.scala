@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming façade over the batch operators (SURVEY.md §2 I):
+  * the reference is batch-only, but its minute resample (G1) is exactly a
+  * tumbling event-time window, and visit sessionization (W2-W4) is a
+  * cid-change session window — both expressible natively.
+  *
+  * Scale notes: watermarked windowed aggregation state is bounded by
+  * (users × watermark horizon); sessionization state is one open visit per
+  * user. Late data beyond the watermark is dropped (re-emission upserts
+  * into the sink table would reconcile, per the checkpoint/resume posture).
+  */
+object Streams {
+
+  /** G1 as a streaming tumbling window: per (user, minute) mean coordinates.
+    * Input: streaming DataFrame with (user_id, ts, lat, lon).
+    */
+  def resampleMinutes(stream: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), "1 minute"))
+      .agg(avg("lat").as("lat"), avg("lon").as("lon"), count(lit(1)).as("n_points"))
+      .select(col("user_id"), col("window.start").as("ts"), col("lat"), col("lon"), col("n_points"))
+
+  case class StreamPoint(user_id: Long, ts: Timestamp, lat: Double, lon: Double, cid: String)
+  case class OpenVisit(cid: String, timeIn: Long, timeOut: Long, nPoints: Long)
+  case class Visit(user_id: Long, cid: String, time_in: Timestamp, time_out: Timestamp, n_points: Long)
+
+  /** W2/W3 as streaming state: per user, an open visit that closes when the
+    * cid changes (emitting the collapsed visit) or the group times out.
+    * One small state object per user — bounded, skew-free state.
+    */
+  def sessionize(points: Dataset[StreamPoint]): Dataset[Visit] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[StreamPoint], state: GroupState[OpenVisit]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Visit]
+          var cur = state.getOption
+          rows.toSeq.sortBy(_.ts.getTime).foreach { p =>
+            cur match {
+              case Some(v) if v.cid == p.cid =>
+                cur = Some(v.copy(timeOut = math.max(v.timeOut, p.ts.getTime), nPoints = v.nPoints + 1))
+              case Some(v) =>
+                out += Visit(user, v.cid, new Timestamp(v.timeIn), new Timestamp(v.timeOut), v.nPoints)
+                cur = Some(OpenVisit(p.cid, p.ts.getTime, p.ts.getTime, 1))
+              case None =>
+                cur = Some(OpenVisit(p.cid, p.ts.getTime, p.ts.getTime, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+}

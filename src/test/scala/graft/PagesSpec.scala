@@ -35,6 +35,37 @@ class PagesSpec extends SparkSpec {
     assert(out === "a & b <c> d")
   }
 
+  test("single-pass expression extractor equals the regex-chain spec") {
+    val cases = Seq(
+      """<html><body><p>a &amp; b</p><script>x</script></body></html>""",
+      """<p>unclosed script <script type="x">never ends""",
+      """text with <broken tag and no close""",
+      """cascading &amp;lt; entity""",
+      """<style a>s1</style> mid <style>s2</style> end""",
+      """<script>a</script><script>b</script> tail""",
+      """  leading   and	trailing
+   ws  """,
+      """<scriptx>not a block close</scriptx>""",
+      "plain text, no markup &gt; here")
+    val df = cases.map(Tuple1(_)).toDF("h").withColumn("b", encode(col("h"), "UTF-8"))
+    val rows = df.select(
+      Pages.extractText(col("b")).as("fast"),
+      Pages.extractTextRegex(col("b")).as("spec")).collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getString(0) === r.getString(1), s"divergence for: $c")
+    }
+  }
+
+  test("expression extractor equals regex spec on all generated pages") {
+    val many = Pipelines.velocities(spark, "/root/testdata/sf0.001")
+    val pages = Pages.pagesFromGps(sources.Tables.gps(spark, "/root/testdata/sf0.001"))
+    val diff = pages.select(
+        Pages.extractText(col("html")).as("fast"),
+        Pages.extractTextRegex(col("html")).as("spec"))
+      .where(col("fast") =!= col("spec")).count()
+    assert(diff === 0L)
+  }
+
   test("geocode recovers microdegree coordinates from extracted text") {
     val g = Pages.geocode(Pages.pagesFromGps(gps)).select("lat", "lon").head
     assert(g.getDouble(0) === 40.03)

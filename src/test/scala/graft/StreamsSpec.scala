@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/** Streaming façade checks via MemoryStream. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming minute resample matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "lat", "lon")
+    val q = Streams.resampleMinutes(df)
+      .writeStream.format("memory").queryName("resampled").outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 08:13:10"), 40.0, -75.0),
+      (1L, ts("2024-01-01 08:13:50"), 40.0002, -75.0002),
+      (1L, ts("2024-01-01 08:30:00"), 41.0, -76.0),
+      (1L, ts("2024-01-01 09:00:00"), 42.0, -77.0)) // advances watermark past 08:13
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-01-01 09:30:00"), 42.0, -77.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM resampled WHERE ts = '2024-01-01 08:13:00'").collect()
+    q.stop()
+    assert(rows.length === 1)
+    assert(math.abs(rows(0).getAs[Double]("lat") - 40.0001) < 1e-12)
+    assert(rows(0).getAs[Long]("n_points") === 2L)
+  }
+
+  test("streaming sessionization closes visits on cid change") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.StreamPoint]
+    val q = Streams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("visits").outputMode("append").start()
+    input.addData(
+      Streams.StreamPoint(1L, ts("2024-01-01 08:00:00"), 40.0, -75.0, "home"),
+      Streams.StreamPoint(1L, ts("2024-01-01 08:10:00"), 40.0, -75.0, "home"),
+      Streams.StreamPoint(1L, ts("2024-01-01 09:00:00"), 40.1, -75.1, "work"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM visits").collect()
+    q.stop()
+    assert(rows.length === 1) // home visit closed by the work point
+    assert(rows(0).getAs[String]("cid") === "home")
+    assert(rows(0).getAs[Long]("n_points") === 2L)
+    assert(rows(0).getAs[Timestamp]("time_out") === ts("2024-01-01 08:10:00"))
+  }
+}
