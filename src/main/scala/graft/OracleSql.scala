@@ -30,6 +30,16 @@ object OracleSql {
   def euclid2(lat1: String, lon1: String, lat2: String, lon2: String): String =
     s"((($lat1) - ($lat2)) * (($lat1) - ($lat2)) + (($lon1) - ($lon2)) * (($lon1) - ($lon2)))"
 
+  /** Twin of Spatial.rayCast: crossing-number sum over literal edges. */
+  def rayCastSql(lat: String, lon: String, verts: Seq[(Double, Double)]): String = {
+    val edges = verts.zip(verts.tail :+ verts.head)
+    val terms = edges.map { case ((y1, x1), (y2, x2)) =>
+      val xCross = s"(${x1}e0 + ($lat - ${y1}e0) / (${y2}e0 - ${y1}e0) * (${x2}e0 - ${x1}e0))"
+      s"(CASE WHEN ((${y1}e0 > $lat) <> (${y2}e0 > $lat)) AND $lon < $xCross THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
   /** Per-user home/work site coordinates (twin of Pipelines). */
   val hlat = "(4e1 + CAST(user_id % 5 AS DOUBLE) * 1e-2)"
   val hlon = "(-75e0 + CAST(user_id % 3 AS DOUBLE) * 1e-2)"

@@ -96,6 +96,9 @@ object SparkEntry {
         .select("user_id", "event_id", "ts", "lat", "lon",
           "binning", "displacement", "time_delta", "velocity")),
     "gps_resample" -> ((s, d) => Motion.resampleMinutes(Tables.gps(s, d))),
+    "gps_first_delta" -> ((s, d) =>
+      Motion.firstOfDayTimeDelta(Pipelines.velocities(s, d))
+        .select("user_id", "event_id", "ts", "binning", "time_delta")),
 
     // ---- tiling (H13/J12) -----------------------------------------------
     "gps_cells" -> ((s, d) =>
@@ -152,6 +155,10 @@ object SparkEntry {
     "gps_pip" -> ((s, d) =>
       Spatial.pointInRect(Tables.gps(s, d), regionRects(s, d))
         .select("event_id", "r_regionkey")),
+    "gps_raycast" -> ((s, d) =>
+      Tables.gps(s, d)
+        .where(Spatial.rayCast(col("lat"), col("lon"), SparkEntry.TestTriangle))
+        .select("event_id", "lat", "lon")),
     "gps_fence" -> ((s, d) =>
       Pipelines.labeledPoints(s, d).groupBy("user_id", "cid")
         .agg(count(lit(1)).as("n_points"))),
@@ -284,6 +291,10 @@ object SparkEntry {
     })
   )
 
+  /** Triangle for the ray-cast PIP query (J11 exact-refine path). */
+  val TestTriangle: Seq[(Double, Double)] =
+    Seq((39.999, -75.01), (40.05, -75.01), (39.999, -74.93))
+
   /** Synthetic Yelp alias dim for the poi_yelp query (reference ships the
     * full yelp_mappings.txt; semantics identical).
     */
@@ -334,6 +345,13 @@ object SparkEntry {
            |       avg(lat) AS lat, avg(lon) AS lon, count(*) AS n_points
            |FROM gps GROUP BY user_id, date_trunc('minute', ts)""".stripMargin,
 
+      "gps_first_delta" ->
+        s"""WITH $gpsCte, $velCtes
+           |SELECT user_id, event_id, ts, binning,
+           |  CASE WHEN ts = min(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AND binning <> 'null'
+           |       THEN epoch_us(ts) // 1000000 - epoch_us(date_trunc('day', ts)) // 1000000
+           |       ELSE time_delta END AS time_delta
+           |FROM vel""".stripMargin,
       "gps_cells" ->
         s"""WITH $gpsCte
            |SELECT $cell15 AS cell, count(*) AS n_points FROM gps GROUP BY 1""".stripMargin,
@@ -448,6 +466,10 @@ object SparkEntry {
            |FROM gps g JOIN rects r
            |  ON g.lat >= r.lat_min AND g.lat < r.lat_max
            | AND g.lon >= r.lon_min AND g.lon < r.lon_max""".stripMargin,
+      "gps_raycast" ->
+        s"""WITH $gpsCte
+           |SELECT event_id, lat, lon FROM gps
+           |WHERE ${OracleSql.rayCastSql("lat", "lon", TestTriangle)}""".stripMargin,
       "gps_fence" ->
         s"""WITH $labCtes
            |SELECT user_id, cid, count(*) AS n_points FROM lab GROUP BY user_id, cid""".stripMargin,

@@ -85,6 +85,22 @@ object Motion {
       .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("ts"))
       .agg(avg("lat").as("lat"), avg("lon").as("lon"), count(lit(1)).as("n_points"))
 
+  /** W7 (gps.py:1716-1731): the first record of each (user, day) gets
+    * time_delta = seconds since local midnight (instead of the cross-day
+    * lag), so daily dwell sums only count into the current day. Applies on
+    * top of processVelocities output.
+    */
+  def firstOfDayTimeDelta(df: DataFrame): DataFrame = {
+    // ALL rows sharing the day's earliest ts are rewritten (the reference
+    // compares ts == min ts, gps.py:1725-1727); 'null'-binned rows are
+    // re-nulled afterwards (gps.py:1734-1736)
+    val w = Window.partitionBy(col("user_id"), col("ts").cast("date"))
+    val sinceMidnight = unix_timestamp(col("ts")) - unix_timestamp(date_trunc("day", col("ts")))
+    df.withColumn("time_delta",
+      when(col("ts") === min(col("ts")).over(w) && col("binning") =!= "null", sinceMidnight)
+        .otherwise(col("time_delta")))
+  }
+
   /** Stationary-gap imputation (gscap/gps.py:1611-1746): between consecutive
     * points that are ≤ maxMeters apart and ≤ maxGapSec apart, generate
     * endpoint-exclusive points every `stepSec` with linearly interpolated

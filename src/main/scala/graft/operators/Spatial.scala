@@ -107,6 +107,28 @@ object Spatial {
         bround(Geo.haversineMeters(col("lat1"), col("lon1"), col("lat2"), col("lon2")), 1))
   }
 
+  /** Explicit skew salting (north rule): spread a hot key across `salts`
+    * sub-keys. Fact side gets a deterministic salt from a row hash; the dim
+    * side explodes to all salts. The join then runs on (key, salt) — no
+    * reducer sees more than 1/salts of a hot key. Use for the pathological
+    * head cells AQE's skew split can't rebalance (e.g. a single city cell
+    * holding a large share of all pages).
+    */
+  def saltFact(df: DataFrame, rowIdCol: String, salts: Int): DataFrame =
+    df.withColumn("salt", pmod(xxhash64(col(rowIdCol)), lit(salts)).cast("int"))
+
+  def saltDim(df: DataFrame, salts: Int): DataFrame =
+    df.withColumn("salt", explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+
+  /** Equi join on `keys` with the fact side salted by `rowIdCol` (any
+    * roughly-unique column) and the dim side replicated `salts`×.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 rowIdCol: String, salts: Int): DataFrame =
+    saltFact(fact, rowIdCol, salts)
+      .join(saltDim(dim, salts), keys :+ "salt")
+      .drop("salt")
+
   /** Raster↔vector tile assignment (J12): point → raster cell at rasterRes →
     * equi-join raster tiles keyed by cell id. Pure expression + equi join.
     */

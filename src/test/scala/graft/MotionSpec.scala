@@ -107,6 +107,25 @@ class MotionSpec extends SparkSpec {
     assert(math.abs(lats(2) - 40.0003) < 1e-12)
   }
 
+  test("first-of-day rows get seconds-since-midnight time_delta (W7, gps.py:1716-1731)") {
+    val df = Seq(
+      ("u", 1L, ts("2019-01-01 23:00:00"), 40.0, -75.0),
+      ("u", 2L, ts("2019-01-02 06:30:00"), 40.0, -75.0),
+      ("u", 3L, ts("2019-01-02 07:00:00"), 40.0, -75.0)
+    ).toDF("user_id", "event_id", "ts", "lat", "lon")
+    val r = Motion.firstOfDayTimeDelta(Motion.processVelocities(df)).orderBy("ts").collect()
+    assert(r(0).getAs[Any]("time_delta") === null)          // first row: binning 'null' stays null
+    assert(r(1).getAs[Long]("time_delta") === 6L * 3600 + 1800) // 06:30 → 23400 s since midnight
+    assert(r(2).getAs[Long]("time_delta") === 1800L)        // untouched lag delta
+  }
+
+  test("SQL-registered extract_text matches the Column API") {
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT extract_text(encode('<p>a &amp; b</p>', 'UTF-8')) AS t").head.getString(0)
+    assert(out === "a & b")
+  }
+
   test("impute skips moving or too-distant pairs") {
     val df = Seq(
       ("u", 1L, ts("2019-01-01 00:00:00"), 40.0, -75.0),
