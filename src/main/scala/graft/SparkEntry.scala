@@ -194,6 +194,21 @@ object SparkEntry {
         records.toDF().withColumn("date", col("ts").cast("date")))
       Sessions.clusterMetrics(visits)
     }),
+    "gps_next_phase" -> ((s, d) => {
+      // full two-phase clustering per user (gps.py:1507-1561)
+      val spark = s
+      import spark.implicits._
+      val pts = Pipelines.velocities(s, d)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("ts"), col("lat"), col("lon"), col("binning"))
+        .as[operators.Clustering.EnrichedPoint]
+      pts.groupByKey(_.user_id).flatMapGroups { (u, it) =>
+        val rows = it.toSeq
+        val (recs, clusters) = operators.Clustering.contextForUser(u, rows, 0.005, 20, 500.0)
+        val (_, all) = operators.Clustering.nextPhaseForUser(recs, clusters, 0.005, 10, 100.0)
+        all.iterator
+      }.toDF().select("user_id", "cid", "lat", "lon")
+    }),
     "dbscan_distributed" -> ((s, d) => {
       // global point-cloud DBSCAN over all users' points (web-scale path)
       val pts = Tables.gps(s, d).select(col("event_id").as("id"), col("lat"), col("lon"))
@@ -269,6 +284,12 @@ object SparkEntry {
     "doc_minhash" -> ((s, d) =>
       Docs.minHashCandidates(Docs.minHashSignature(Tables.documents(s, d)))),
     "doc_simhash" -> ((s, d) => Docs.simHash(Tables.documents(s, d))),
+    "doc_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Docs.minHashCandidates(Docs.minHashSignature(docs))
+      Docs.jaccard(docs, cand)
+        .select(col("doc_a"), col("doc_b"), bround(col("jaccard"), 4).as("jaccard"))
+    }),
 
     // ---- similarity search ----------------------------------------------
     "emb_norms" -> ((s, d) =>

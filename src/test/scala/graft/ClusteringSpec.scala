@@ -123,6 +123,35 @@ class ClusteringSpec extends SparkSpec {
     assert(exactGroups === distGroups)
   }
 
+  test("next-phase clusters continue numbering and respect the 100 m anti-join (gps.py:1507-1561)") {
+    // phase 1 makes home at fixtureLats; leave 150 unlabeled stationary
+    // points at a spot >100 m from everything → next phase clusters them
+    val base = (0 until 100).flatMap(_ => fixtureLats).zipWithIndex.map { case (l, i) =>
+      Clustering.EnrichedPoint(1L, i.toLong, Timestamp.valueOf("2005-01-01 04:04:00"), l, -45.0, "stationary")
+    }
+    val far = (0 until 150).map { i =>
+      Clustering.EnrichedPoint(1L, (1000 + i).toLong, Timestamp.valueOf("2005-01-01 12:04:00"),
+        40.2 + (i % 10) * 1e-5, -45.2, "stationary")
+    }
+    val near = (0 until 150).map { i => // within 100 m of home center → excluded
+      Clustering.EnrichedPoint(1L, (2000 + i).toLong, Timestamp.valueOf("2005-01-01 12:30:00"),
+        40.0005, -45.0, "stationary")
+    }
+    // phase 1 at min_samples 200 leaves the 150-point far blob as xNot;
+    // next phase at min_samples 100 picks it up per day
+    val (recs, clusters) = Clustering.contextForUser(1L, base ++ far ++ near, 0.005, 200, 500.0)
+    val (recs2, all) = Clustering.nextPhaseForUser(recs, clusters, 0.005, 100, 100.0)
+    val newCids = all.map(_.cid).toSet -- clusters.map(_.cid).toSet
+    assert(newCids.nonEmpty)
+    // numbering continues from phase 1's max x<k>
+    val phase1Max = clusters.map(_.cid).filter(_.matches("x\\d+")).map(_.drop(1).toInt)
+      .foldLeft(-1)(math.max)
+    newCids.foreach(c => assert(c.drop(1).toInt > phase1Max))
+    // the far blob got labeled, the near blob stayed xNot
+    assert(recs2.filter(r => r.event_id >= 1000 && r.event_id < 1150).forall(_.cid != "xNot"))
+    assert(recs2.filter(_.event_id >= 2000).forall(r => r.cid == "xNot" || r.cid == "home"))
+  }
+
   test("spark wiring: clustersWithContext runs per user") {
     val rows = (0 until 100).flatMap(_ => fixtureLats).zipWithIndex.flatMap { case (l, i) =>
       Seq(
