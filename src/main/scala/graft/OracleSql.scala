@@ -181,11 +181,12 @@ object OracleSql {
        |),
        |collapsed AS (
        |  SELECT user_id, "date", pos, cid,
-       |         min(ts) AS time_in, max(ts) AS time_out, count(*) AS n_points
+       |         min(ts) AS time_in, max(ts) AS time_out, count(*) AS n_points,
+       |         quantile_cont(lat, 0.5e0) AS lat, quantile_cont(lon, 0.5e0) AS lon
        |  FROM pos_t GROUP BY user_id, "date", pos, cid
        |),
        |merged AS (
-       |  SELECT user_id, "date", pos, cid, n_points,
+       |  SELECT user_id, "date", pos, cid, n_points, lat, lon,
        |    CASE WHEN pos = 1 AND lag(cid) OVER w2 = cid AND lag("date") OVER w2 = "date" - 1
        |         THEN CAST("date" AS TIMESTAMP) ELSE time_in END AS time_in,
        |    CASE WHEN lead(pos) OVER w2 = 1 AND lead(cid) OVER w2 = cid AND lead("date") OVER w2 = "date" + 1

@@ -117,7 +117,7 @@ object SparkEntry {
       Sessions.visits(Pipelines.labeledPoints(s, d))
         .withColumn("date", col("date").cast("timestamp"))
         .select("user_id", "date", "pos", "cid", "time_in", "time_out",
-          "n_points", "duration", "midpoint")),
+          "n_points", "duration", "midpoint", "lat", "lon")),
     "gps_visit_stats" -> ((s, d) => {
       val v = Sessions.visits(Pipelines.labeledPoints(s, d))
       v.where(col("cid") =!= "xNot")
@@ -152,6 +152,17 @@ object SparkEntry {
     "gps_knn" -> ((s, d) =>
       Spatial.nearestNeighbor(Tables.gps(s, d), nationSites(s, d), "n_nationkey", Seq("event_id"))
         .select("event_id", "n_nationkey", "d2")),
+    "gps_tz" -> ((s, d) => {
+      // J5/H11: nearest synthetic zip → its timezone string (the reference's
+      // KDTree zip/tz lookup, utils.py:141-180); ring-kNN scale path
+      val zips = Tables.nation(s, d).select(
+        (col("n_nationkey") + 10000).as("zipcode"),
+        (lit(40.0) + (col("n_nationkey") % 5).cast("double") * 1e-2 + 2e-3).as("d_lat"),
+        (lit(-75.0) + (col("n_nationkey") % 3).cast("double") * 1e-2 + 2e-3).as("d_lon"),
+        concat(lit("America/Zone_"), (col("n_nationkey") % 4).cast("string")).as("timezone"))
+      Spatial.nearestNeighborCellRing(Tables.gps(s, d), zips, "zipcode", "event_id", res = 11, maxRings = 2)
+        .groupBy("timezone").agg(count(lit(1)).as("n_points"), countDistinct("zipcode").as("n_zips"))
+    }),
     "gps_pip" -> ((s, d) =>
       Spatial.pointInRect(Tables.gps(s, d), regionRects(s, d))
         .select("event_id", "r_regionkey")),
@@ -384,7 +395,7 @@ object SparkEntry {
 
       "gps_sessions" ->
         s"""WITH $visitCtes
-           |SELECT user_id, CAST("date" AS TIMESTAMP) AS "date", pos, cid, time_in, time_out, n_points, duration, midpoint
+           |SELECT user_id, CAST("date" AS TIMESTAMP) AS "date", pos, cid, time_in, time_out, n_points, duration, midpoint, lat, lon
            |FROM visits""".stripMargin,
       "gps_visit_stats" ->
         s"""WITH $visitCtes
@@ -474,6 +485,23 @@ object SparkEntry {
            |  FROM scored
            |)
            |SELECT event_id, n_nationkey, d2 FROM rk WHERE rn = 1""".stripMargin,
+      "gps_tz" ->
+        s"""WITH $gpsCte,
+           |zips AS (
+           |  SELECT n_nationkey + 10000 AS zipcode,
+           |    4e1 + CAST(n_nationkey % 5 AS DOUBLE) * 1e-2 + 2e-3 AS d_lat,
+           |    -75e0 + CAST(n_nationkey % 3 AS DOUBLE) * 1e-2 + 2e-3 AS d_lon,
+           |    'America/Zone_' || CAST(n_nationkey % 4 AS VARCHAR) AS timezone
+           |  FROM nation
+           |),
+           |rk AS (
+           |  SELECT g.event_id, z.zipcode, z.timezone,
+           |    row_number() OVER (PARTITION BY g.event_id
+           |      ORDER BY ${euclid2("g.lat", "g.lon", "z.d_lat", "z.d_lon")} ASC, z.zipcode ASC) AS rn
+           |  FROM gps g CROSS JOIN zips z
+           |)
+           |SELECT timezone, count(*) AS n_points, count(DISTINCT zipcode) AS n_zips
+           |FROM rk WHERE rn = 1 GROUP BY timezone""".stripMargin,
       "gps_pip" ->
         s"""WITH $gpsCte,
            |rects AS (

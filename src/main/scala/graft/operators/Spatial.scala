@@ -76,6 +76,47 @@ object Spatial {
       .drop("rn")
   }
 
+  /** kNN via grid-cell rings (the J5 scale path, SURVEY.md: "H3-index the
+    * dim table, probe kRing rings of increasing radius until hit, exact
+    * tie-break"): instead of replicating the whole dim per point (brute
+    * force), each point probes its (2k+1)² cell ring at `res` — an EQUI join
+    * on cell id — falling back to the next ring only for points still
+    * unmatched. Exact provided the true nearest neighbor lies within
+    * `maxRings` rings (callers pick `res` so one ring covers the expected
+    * NN distance); argmin + key tie-break identical to [[nearestNeighbor]].
+    */
+  def nearestNeighborCellRing(points: DataFrame, dim: DataFrame, dimKey: String,
+                              pointKey: String, res: Int, maxRings: Int = 3): DataFrame = {
+    val dimCells = dim.withColumn("cell", Grid.cell(col("d_lat"), col("d_lon"), res))
+    val ptCells  = points.withColumn("cell", Grid.cell(col("lat"), col("lon"), res))
+    // euclid-deg radius guaranteed covered by ring k: k cells in the SMALLER
+    // (lat) dimension — a candidate at d ≤ k·cellHeight cannot be beaten by
+    // anything outside ring k
+    val cellHeight = 180.0 / (1L << res).toDouble
+    val d2 = Geo.euclidDeg2(col("lat"), col("lon"), col("d_lat"), col("d_lon"))
+
+    var remaining = ptCells
+    var out: DataFrame = null
+    var k = 1
+    while (k <= maxRings) {
+      val probes = remaining.withColumn("probe_cell", explode(Grid.kRing(col("cell"), res, k)))
+      val cand = probes.join(
+        broadcast(dimCells.withColumnRenamed("cell", "probe_cell")), Seq("probe_cell"))
+      val w = Window.partitionBy(pointKey).orderBy(col("d2").asc, col(dimKey).asc)
+      val hit = cand.withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .where(sqrt(col("d2")) <= k * cellHeight) // coverage guarantee
+        .drop("rn", "probe_cell")
+      out = if (out == null) hit else out.unionByName(hit)
+      remaining = remaining.join(hit.select(pointKey), Seq(pointKey), "left_anti")
+      k += 1
+    }
+    // stragglers (sparse regions): exact brute-force fallback
+    val rest = nearestNeighbor(remaining.drop("cell"), dim, dimKey, Seq(pointKey))
+      .withColumn("cell", Grid.cell(col("lat"), col("lon"), res))
+    out.unionByName(rest, allowMissingColumns = true)
+  }
+
   /** Distance-fence relabel (J4, gscap/gps.py:1124-1130): points within
     * `fenceMeters` of (centerLat, centerLon) get `label`, else keep cid.
     */

@@ -59,6 +59,19 @@ class SpatialSpec extends SparkSpec {
     assert(plain.toSeq === salted.toSeq)
   }
 
+  test("cell-ring kNN equals brute-force kNN") {
+    var seed = 11L
+    def next(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 11).toDouble / (1L << 53).toDouble }
+    val pts = (1L to 300L).map(i => (i, 39.5 + next(), -75.5 + next())).toDF("event_id", "lat", "lon")
+    val dim = (1 to 12).map(i => (i, 39.5 + next(), -75.5 + next())).toDF("n_key", "d_lat", "d_lon")
+    val brute = Spatial.nearestNeighbor(pts, dim, "n_key", Seq("event_id"))
+      .select("event_id", "n_key").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ring = Spatial.nearestNeighborCellRing(pts, dim, "n_key", "event_id", res = 9, maxRings = 2)
+      .select("event_id", "n_key").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ring.size === 300)
+    assert(ring === brute)
+  }
+
   test("nearestNeighbor picks the euclidean-degree argmin with key tie-break") {
     val pts = Seq((1L, 40.0, -75.0)).toDF("event_id", "lat", "lon")
     val dim = Seq((10, 40.001, -75.0), (11, 40.001, -75.0), (12, 42.0, -70.0))
