@@ -316,6 +316,12 @@ object SparkEntry {
         .where(col("cosine") >= 0.3)
         .select(col("query_id"), col("vec_id"), bround(col("cosine"), 4).as("cosine"))
     }),
+    "emb_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.where(col("vec_id") % 100 === 0),
+        dim = 64, nCells = 16, nProbe = 6, k = 5)
+        .select("query_id", "vec_id", "rank")
+    }),
     "emb_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e, e.where(col("vec_id") % 100 === 0), dim = 64, bits = 8, k = 5)

@@ -62,6 +62,50 @@ object Similarity {
     bitCols.reduce((a: Column, c: Column) => a.bitwiseOR(c))
   }
 
+  /** IVF-style ANN: corpus is partitioned into `nCells` Voronoi cells of
+    * deterministic pseudo-random centroids (fixed LCG — a stand-in for a
+    * trained k-means codebook; swap in trained centroids without changing
+    * the plan shape); queries probe their `nProbe` nearest cells and rerank
+    * exactly within them. The probe join is an equi join on cell id —
+    * the IVF scale path next to the LSH variant below.
+    */
+  def ivfCentroids(dim: Int, nCells: Int): Seq[(Int, Seq[Double])] = {
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    (0 until nCells).map { c =>
+      var s = lcg(c.toLong + 777L)
+      c -> (0 until dim).map { _ => s = lcg(s); (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0 }
+    }
+  }
+
+  /** Cell id = argmax cosine against the centroid codebook (expression over
+    * literal arrays; deterministic).
+    */
+  def ivfCell(emb: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = cents.map { case (id, v) => struct(cosine(emb, array(v.map(lit): _*)).as("s"), lit(id).as("c")) }
+    array_max(array(scored: _*)).getField("c")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, nCells: Int,
+              nProbe: Int, k: Int): DataFrame = {
+    val cents = ivfCentroids(dim, nCells)
+    val corpusCells = corpus.withColumn("ivf_cell", ivfCell(col("embedding"), cents))
+    // query probes: top nProbe cells by centroid cosine
+    val probeArr = {
+      val scored = cents.map { case (id, v) =>
+        struct(cosine(col("q_emb"), array(v.map(lit): _*)).as("s"), lit(id).as("c")) }
+      slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
+    }
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("ivf_cell", explode(transform(probeArr, p => p.getField("c"))))
+    corpusCells.join(broadcast(q), Seq("ivf_cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed ANN: candidates share a signature bucket (equi join on the
     * bucket id — the scale path replacing the brute-force cross join), then
     * exact cosine rerank within buckets.
