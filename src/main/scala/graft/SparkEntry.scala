@@ -297,8 +297,13 @@ object SparkEntry {
     "doc_simhash" -> ((s, d) => Docs.simHash(Tables.documents(s, d))),
     "doc_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cand = Docs.minHashCandidates(Docs.minHashSignature(docs))
-      Docs.jaccard(docs, cand)
+      // materialize signatures and shingles once — both are consumed by
+      // self-join sides, which would otherwise recompute the HOF-heavy
+      // shingling per side
+      val sigs = Docs.minHashSignature(docs).localCheckpoint()
+      val cand = Docs.minHashCandidates(sigs)
+      val sh = docs.select(col("doc_id"), Docs.shingles(col("text"), 3).as("sh")).localCheckpoint()
+      Docs.jaccardFromShingles(sh, cand)
         .select(col("doc_a"), col("doc_b"), bround(col("jaccard"), 4).as("jaccard"))
     }),
 

@@ -60,19 +60,14 @@ object Docs {
     * then buckets signatures for near-dup candidate generation — turning
     * all-pairs similarity into an equi join on (band, band_hash).
     */
+  /** MinHash signatures via the compiled single-pass kernel
+    * (graft.functions.MinHashSigExpr — the HOF formulation evaluated
+    * interpreted per element and was ~50× slower).
+    */
   def minHashSignature(docs: DataFrame, shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
-    // materialize shingles once (separate projection), then derive all
-    // `numHashes` permutation-minima from the single base-hash array:
-    // h_seed(s) = xxhash64(seed, h0(s)) — avoids numHashes full re-hashes
-    // of the string array and keeps one pass per row
-    docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleSize).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("h0"))
-      .select(
-        col("doc_id"),
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          seed => array_min(transform(col("h0"), h => xxhash64(seed, h)))).as("signature"))
+    require(shingleSize == 3 && numHashes == graft.functions.MinHashImpl.NumHashes,
+      "the compiled kernel is specialized to 3-gram shingles × 16 permutations")
+    docs.select(col("doc_id"), graft.functions.MinHashSigExpr(col("text")).as("signature"))
   }
 
   /** LSH near-dup candidate pairs: split the signature into `bands` bands,
@@ -97,8 +92,15 @@ object Docs {
   /** Exact n-gram Jaccard similarity for candidate pairs (verification stage
     * after LSH, or direct for small sets).
     */
-  def jaccard(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+  def jaccard(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 3): DataFrame =
+    jaccardFromShingles(
+      docs.select(col("doc_id"), shingles(col("text"), shingleSize).as("sh")), pairs)
+
+  /** Jaccard over a precomputed (doc_id, sh) frame — callers joining the
+    * shingle frame on both pair sides should materialize it first
+    * (localCheckpoint/persist) so shingling runs once, not per side.
+    */
+  def jaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
