@@ -291,6 +291,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
         .where(col("n_docs") > 1)),
     "doc_quality" -> ((s, d) => Docs.qualityFeatures(Tables.documents(s, d))),
+    "doc_dedup_exact" -> ((s, d) =>
+      Docs.dedupExact(Tables.documents(s, d))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
     "doc_lang" -> ((s, d) => Docs.langScores(Tables.documents(s, d))),
     "doc_minhash" -> ((s, d) =>
       Docs.minHashCandidates(Docs.minHashSignature(Tables.documents(s, d)))),
@@ -650,6 +653,14 @@ object SparkEntry {
         """SELECT md5(substr(text, 1, 40)) AS prefix_hash,
           |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
           |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+      "doc_dedup_exact" ->
+        """WITH keep AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |    FROM documents) t WHERE rn = 1
+          |)
+          |SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc
+          |FROM keep GROUP BY lang""".stripMargin,
       "doc_quality" ->
         """SELECT doc_id,
           |  length(text) AS n_chars_m,
