@@ -115,7 +115,7 @@ object OracleSql {
        |),
        |met AS (
        |  SELECT *, $meters AS meters,
-       |         (abs(epoch_us(ts) // 1000000 - epoch_us(pts) // 1000000)) % 86400 AS secs
+       |         (abs(epoch_us(ts) - epoch_us(pts)) // 1000000) % 86400 AS secs
        |  FROM lagged
        |),
        |binr AS (

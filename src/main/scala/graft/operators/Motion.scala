@@ -57,8 +57,12 @@ object Motion {
     val pTs  = lag("ts", 1).over(w)
 
     val meters = Geo.haversineMeters(pLat, pLon, col("lat"), col("lon"))
-    // Python timedelta.seconds semantics: |Δt| mod 86400 (gps.py:886-889)
-    val secs = pmod(abs(unix_timestamp(col("ts")) - unix_timestamp(pTs)), lit(86400L))
+    // Python timedelta.seconds semantics: floor of the |Δt| TOTAL seconds,
+    // mod 86400 (gps.py:886-889). Computed on microseconds — flooring each
+    // endpoint first (unix_timestamp) would overstate sub-second gaps.
+    val secs = pmod(
+      floor(abs(unix_micros(col("ts")) - unix_micros(pTs)) / 1e6).cast("long"),
+      lit(86400L))
     val vel  = when(secs =!= 0L, meters / secs.cast("double"))
 
     val rawBin = binning(meters, vel)
