@@ -194,11 +194,19 @@ object OracleSql {
        |         ELSE time_out END AS time_out
        |  FROM collapsed WINDOW w2 AS (PARTITION BY user_id ORDER BY "date", pos)
        |),
+       |durs AS (
+       |  SELECT *, (CASE WHEN du - (du // 1000000) * 1000000 > 500000 THEN du // 1000000 + 1
+       |                  WHEN du - (du // 1000000) * 1000000 < 500000 THEN du // 1000000
+       |                  ELSE (CASE WHEN (du // 1000000) % 2 = 0 THEN du // 1000000 ELSE du // 1000000 + 1 END)
+       |             END) AS duration
+       |  FROM (SELECT *, epoch_us(time_out) - epoch_us(time_in) AS du FROM merged) t
+       |),
        |visits AS (
-       |  SELECT *,
-       |    epoch_us(time_out) // 1000000 - epoch_us(time_in) // 1000000 AS duration,
-       |    make_timestamp((epoch_us(time_in) // 1000000
-       |      + CAST(floor((epoch_us(time_out) // 1000000 - epoch_us(time_in) // 1000000) / 2e0) AS BIGINT)) * 1000000) AS midpoint
-       |  FROM merged
+       |  SELECT *, make_timestamp(
+       |    (CASE WHEN mu - (mu // 1000000) * 1000000 > 500000 THEN mu // 1000000 + 1
+       |          WHEN mu - (mu // 1000000) * 1000000 < 500000 THEN mu // 1000000
+       |          ELSE (CASE WHEN (mu // 1000000) % 2 = 0 THEN mu // 1000000 ELSE mu // 1000000 + 1 END)
+       |     END) * 1000000) AS midpoint
+       |  FROM (SELECT *, epoch_us(time_in) + duration * 500000 AS mu FROM durs) t
        |)""".stripMargin
 }

@@ -67,12 +67,22 @@ object Sessions {
           (col("date").cast("timestamp") + expr("INTERVAL 23 HOURS 59 MINUTES 59 SECONDS")))
           .otherwise(col("time_out")))
 
-    // duration (s, already whole seconds) + midpoint rounded to 1 s
-    adjusted
-      .withColumn("duration",
-        unix_timestamp(col("time_out")) - unix_timestamp(col("time_in")))
-      .withColumn("midpoint",
-        timestamp_seconds(unix_timestamp(col("time_in")) + floor(col("duration") / 2.0).cast("long")))
+    // duration = (out − in).round('1s') and midpoint = (in + duration/2)
+    // .round('1s') — pandas rounds HALF-EVEN on the .5 s ties that arise
+    // from sub-second fixes and odd durations (gps.py:1350-1351); computed
+    // in integer microseconds with an explicit tie branch so the SQL twin
+    // is portable (DuckDB round is half-away)
+    def roundSecHalfEven(us: org.apache.spark.sql.Column) = {
+      val s    = floor(us / 1e6).cast("long")
+      val frac = us - s * 1000000L
+      when(frac > 500000L, s + 1)
+        .when(frac < 500000L, s)
+        .otherwise(when(s % 2 === 0, s).otherwise(s + 1))
+    }
+    val durUs = unix_micros(col("time_out")) - unix_micros(col("time_in"))
+    val adjusted2 = adjusted.withColumn("duration", roundSecHalfEven(durUs))
+    val midUs = unix_micros(col("time_in")) + col("duration") * 500000L
+    adjusted2.withColumn("midpoint", timestamp_seconds(roundSecHalfEven(midUs)))
   }
 
   /** Per-cluster visit statistics — cluster_metrics (gscap/gps.py:656-793).

@@ -71,3 +71,43 @@ out = out[['lat', 'lon', 'ts', 'binning', 'displacement', 'time_delta', 'velocit
 out.to_csv('/root/repo/src/test/resources/golden_velocities.csv', index=False)
 print(out.binning.value_counts().to_dict())
 print(len(out), 'rows')
+
+# ---- additional goldens ----------------------------------------------------
+import math
+import pandas as pd
+
+# 2. resample_gps_intervals over some_data (lat/lon/ts only)
+df2 = pd.read_csv('/root/reference/tests/some_data.csv', parse_dates=['ts'])[['lat', 'lon', 'ts']]
+rs = gps.resample_gps_intervals(df2.copy())
+rs.to_csv('/root/repo/src/test/resources/golden_resample.csv', index=False)
+print('resample rows:', len(rs))
+
+# 3. impute_stationary_coordinates over some_gps (whole-minute fixture)
+sg = pd.read_csv('/root/reference/tests/some_gps.csv', parse_dates=['ts'])[['lat', 'lon', 'ts']]
+imp = gps.impute_stationary_coordinates(sg.copy(), freq='10Min', verbose=False)
+imp = imp[['lat', 'lon', 'ts', 'binning', 'displacement', 'time_delta', 'velocity']]
+imp.to_csv('/root/repo/src/test/resources/golden_impute.csv', index=False)
+print('impute rows:', len(imp), imp.binning.value_counts().to_dict())
+
+# 4. get_cluster_times over enriched some_data: velocities + deterministic cid
+import gscap
+enr = gps.process_velocities(df2.copy(), verbose=False)
+enr['date'] = enr.ts.apply(lambda t: t.date())
+enr['cid'] = ['x%d' % (int(math.floor(la * 1e5)) % 3) for la in enr.lat]
+# stub tz lookup (zips.txt blob is absent); compared columns exclude local_tz
+sys.modules['gscap.utils'].tz_from_dd = lambda x: ['America/Los_Angeles'] * len(x)
+gps.tz_from_dd = lambda x: ['America/Los_Angeles'] * len(x)
+entries = gps.get_cluster_times(enr.copy())
+entries['duration_s'] = entries['duration'].dt.total_seconds()
+entries[['cid', 'date', 'time_in', 'midpoint', 'time_out', 'duration_s',
+         'pos', 'n_points', 'lat', 'lon']].to_csv(
+    '/root/repo/src/test/resources/golden_entries.csv', index=False)
+print('entries rows:', len(entries))
+
+# 5. cluster_metrics over the reference's own fixtures
+ent = pd.read_csv('/root/reference/tests/some_entries.csv', parse_dates=['time_in', 'time_out', 'midpoint'])
+ent['duration'] = pd.to_timedelta(ent['duration'])
+clusters = pd.read_csv('/root/reference/tests/some_clusters.csv')
+cm = gps.cluster_metrics(clusters.copy(), ent.copy())
+cm.to_csv('/root/repo/src/test/resources/golden_cluster_metrics.csv', index=False)
+print('cluster_metrics rows:', len(cm), list(cm.columns))
