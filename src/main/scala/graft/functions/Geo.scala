@@ -38,6 +38,25 @@ object Geo {
     (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)
 }
 
+/** np.round as a Column: half-even on the SCALED BINARY double
+  * (numpy multiplies by 10^dp and rints), which differs from Spark's
+  * bround (BigDecimal half-even on the decimal representation) exactly at
+  * values whose scaled binary form is a representable .5 — the cases that
+  * matter for fixture parity with numpy/pandas outputs.
+  */
+object NpRound {
+  def apply(c: Column, dp: Int): Column = {
+    val scale = math.pow(10, dp)
+    val s     = c * scale
+    val r     = floor(s)
+    val frac  = s - r
+    val n = when(frac > 0.5, r + 1)
+      .when(frac < 0.5, r)
+      .otherwise(when(pmod(r, lit(2.0)) === 0.0, r).otherwise(r + 1))
+    n / scale
+  }
+}
+
 /** Hierarchical spatial grid index filling the H3/S2 role in this engine.
   *
   * A cell id packs (resolution, yIndex, xIndex) into one long:

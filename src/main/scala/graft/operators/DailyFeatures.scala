@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Geo
+import graft.functions.{Geo, NpRound}
 
 /** Daily mobility features — get_daily_metrics (gscap/gps.py:1366-1504).
   *
@@ -26,13 +26,15 @@ object DailyFeatures {
     * half-even vs half-away tie behavior would differ across engines).
     */
   private def maybeRound(c: org.apache.spark.sql.Column, refRounding: Boolean, dp: Int) =
-    if (refRounding) bround(c, dp) else c
+    if (refRounding) NpRound(c, dp) else c
   private def hoursIn(cond: org.apache.spark.sql.Column, refRounding: Boolean) =
     maybeRound(coalesce(sum(when(cond, col("time_delta"))), lit(0L)) / 3600.0, refRounding, 3)
   // distance sums always round 3 dp: summands are 1 dp so no decimal tie is
-  // reachable, and the round absorbs cross-engine summation-order noise
+  // reachable, and the round absorbs cross-engine summation-order noise;
+  // np.round semantics under refRounding for numpy-fixture parity
   private def distIn(cond: org.apache.spark.sql.Column, refRounding: Boolean) =
-    bround(coalesce(sum(when(cond, col("displacement"))), lit(0.0)), 3)
+    if (refRounding) NpRound(coalesce(sum(when(cond, col("displacement"))), lit(0.0)), 3)
+    else bround(coalesce(sum(when(cond, col("displacement"))), lit(0.0)), 3)
 
   /** Input: enriched points (user_id, ts, date, lat, lon, time_delta,
     * displacement, binning, cid). One row per (user_id, date).
@@ -45,8 +47,11 @@ object DailyFeatures {
     }
     val aggs: Seq[org.apache.spark.sql.Column] = Seq(
       // log(std_pop(lat)+std_pop(lon)), zero-guarded like gps.py:1368-1371
+      // always 3 dp (the value is transcendental so bround is portable);
+      // np.round form under refRounding for numpy-fixture parity
       when(stddev_pop("lat") + stddev_pop("lon") > 0.0,
-        bround(log(stddev_pop("lat") + stddev_pop("lon")), 3)).as("location_variance"),
+        if (refRounding) NpRound(log(stddev_pop("lat") + stddev_pop("lon")), 3)
+        else bround(log(stddev_pop("lat") + stddev_pop("lon")), 3)).as("location_variance"),
       countDistinct(hour(col("ts"))).as("hours_accounted_for"),
       hoursIn(col("binning") === "stationary" && col("cid") =!= "home" && col("cid") =!= "work",
         refRounding).as("hours_stationary_nhw"),
@@ -98,7 +103,21 @@ object DailyFeatures {
     * always <24 h anyway). The cross-day dependency is a lag over the tiny
     * per-day frame, not the point table.
     */
-  def sleepEstimate(points: DataFrame): DataFrame = {
+  /** Dwell-hours in the user's top-k other clusters per date
+    * (hours_in_top3, gps.py:1449-1456 + hours_in with the top-3 cid list).
+    */
+  def hoursInTopK(points: DataFrame, k: Int = 3, refRounding: Boolean = true): DataFrame = {
+    val top = topClusters(points, k).select("user_id", "cid")
+    points.join(top.withColumn("is_top", lit(true)), Seq("user_id", "cid"), "left")
+      .groupBy("user_id", "date")
+      .agg(maybeRound(
+        coalesce(sum(when(col("is_top"), col("time_delta"))), lit(0L)) / 3600.0,
+        refRounding, 3).as("hours_in_top3"))
+  }
+
+  def sleepEstimate(points: DataFrame): DataFrame = sleepEstimate(points, refRounding = false)
+
+  def sleepEstimate(points: DataFrame, refRounding: Boolean): DataFrame = {
     // first/last rows of each day; ties on ts break to the SMALLEST event
     // order — the reference takes .iloc[0] of the matching rows
     // (gps.py:1468,1492)
@@ -116,16 +135,21 @@ object DailyFeatures {
     val pLastTs  = lag("last_ts", 1).over(w)
     val pLat     = lag("l_lat", 1).over(w)
     val pLon     = lag("l_lon", 1).over(w)
+    // micros arithmetic: the reference's .total_seconds()/.seconds operate
+    // on the full-precision timedelta (floor of totals, not of endpoints)
     val midnight = col("date").cast("timestamp")
-    val gapOk  = (unix_timestamp(col("first_ts")) - unix_timestamp(pLastTs)) <= 24L * 3600L
+    val gapOk  = (unix_micros(col("first_ts")) - unix_micros(pLastTs)) <= 24L * 3600L * 1000000L
     val distOk = Geo.haversineMeters(col("f_lat"), col("f_lon"), pLat, pLon) <= 500.0
     val lnSecs = when(pLastTs.isNotNull && gapOk && distOk,
-      pmod(unix_timestamp(midnight) - unix_timestamp(pLastTs), lit(86400L))).otherwise(0L)
+      pmod(floor((unix_micros(midnight) - unix_micros(pLastTs)) / 1e6).cast("long"), lit(86400L)))
+      .otherwise(0L)
+    val firstSecs = pmod(
+      floor((unix_micros(col("first_ts")) - unix_micros(midnight)) / 1e6).cast("long"), lit(86400L))
 
+    val sleep = (firstSecs + lnSecs).cast("double") / 3600.0
     perDay.select(
       col("user_id"), col("date"),
-      (((unix_timestamp(col("first_ts")) - unix_timestamp(midnight)) + lnSecs).cast("double") / 3600.0)
-        .as("hours_of_sleep"))
+      maybeRound(sleep, refRounding, 3).as("hours_of_sleep"))
   }
 
   /** Radius of gyration per (user, date): sqrt(Σ d(point, centroid)²/n) with

@@ -152,6 +152,42 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("get_daily_metrics matches the reference (14 days over some_data)") {
+    import graft.operators.DailyFeatures
+    val enriched = Motion.processVelocities(someData)
+      .withColumn("date", col("ts").cast("date"))
+      .withColumn("cid",
+        concat(lit("x"), pmod(floor(col("lat") * 1e5).cast("long"), lit(3L)).cast("string")))
+    val daily = DailyFeatures.daily(enriched, refRounding = true)
+      .join(DailyFeatures.sleepEstimate(enriched, refRounding = true), Seq("user_id", "date"))
+      .join(DailyFeatures.hoursInTopK(enriched), Seq("user_id", "date"))
+    val ours = daily.orderBy("date").collect()
+
+    val golden = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(res("golden_daily.csv")).orderBy("date").collect()
+    assert(ours.length === golden.length)
+    val numeric = Seq("location_variance", "hours_stationary_nhw",
+      "hours_stationary", "hours_walking", "hours_active", "hours_powered_vehicle",
+      "hours_high_speed_transportation", "distance_stationary", "distance_walking",
+      "distance_active", "distance_powered_vehicle", "distance_high_speed_transportation",
+      "hours_in_home", "hours_in_work", "hours_in_top3", "hours_of_sleep")
+    var bad = 0
+    ours.zip(golden).foreach { case (a, b) =>
+      val ok =
+        a.getAs[Long]("hours_accounted_for") == b.getAs[Any]("hours_accounted_for").toString.toLong &&
+        a.getAs[Long]("number_of_clusters") == b.getAs[Any]("number_of_clusters").toString.toLong &&
+        a.getAs[Boolean]("came_to_work") == b.getAs[Any]("came_to_work").toString.toBoolean &&
+        numeric.forall(c => approx(optD(a, c), optD(b, c), 0.0))
+      if (!ok) {
+        bad += 1
+        if (bad <= 2) numeric.foreach { c =>
+          if (!approx(optD(a, c), optD(b, c), 0.0)) info(s"col=$c ours=${optD(a, c)} golden=${optD(b, c)}")
+        }
+      }
+    }
+    assert(bad === 0, s"$bad of ${ours.length} days diverge")
+  }
+
   test("process_velocities matches the reference on some_data.csv, all 4906 rows") {
     val schema = StructType(Seq(
       StructField("lat", DoubleType), StructField("lon", DoubleType),

@@ -111,3 +111,8 @@ clusters = pd.read_csv('/root/reference/tests/some_clusters.csv')
 cm = gps.cluster_metrics(clusters.copy(), ent.copy())
 cm.to_csv('/root/repo/src/test/resources/golden_cluster_metrics.csv', index=False)
 print('cluster_metrics rows:', len(cm), list(cm.columns))
+
+# 6. get_daily_metrics over the enriched frame (same cid scheme as entries)
+daily = gps.get_daily_metrics(enr.copy())
+daily.to_csv('/root/repo/src/test/resources/golden_daily.csv', index=False)
+print('daily rows:', len(daily), list(daily.columns))
