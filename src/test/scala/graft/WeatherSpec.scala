@@ -53,6 +53,36 @@ class WeatherSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("dew_point_std") - math.sqrt(8.0 / 3.0)) < 1e-12)
   }
 
+  test("dailySummary matches the reference's summarize_report (golden, NaN-skipping)") {
+    // same deterministic hourly frame as tools/gen_golden.py §7
+    val rows = (0 until 72).map { e =>
+      val cc: Option[Double] = if (e % 11 == 0) None else Some((e * 7) % 100 / 100.0)
+      (47579L, 38.1, -86.9, Date.valueOf(f"2019-06-0${e / 24 + 1}%d"),
+        cc, Some((e * 11) % 150 / 10.0), Some((e * 3) % 100 / 100.0),
+        Some((e % 200) / 10.0), Some((e * 13) % 20 / 20.0))
+    }
+    import spark.implicits._
+    val hourly = rows.toDF("zipcode", "lat", "lon", "date",
+      "cloud_cover", "dew_point", "humidity", "temperature", "precip_intensity")
+    val ours = Weather.dailySummary(hourly).orderBy("date").collect()
+    val golden = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(getClass.getResource("/golden_weather.csv").toString).orderBy("date").collect()
+    assert(ours.length === 3)
+    val cols = Seq("cloud_cover_mean", "cloud_cover_std", "cloud_cover_median", "cloud_cover_IQR",
+      "dew_point_mean", "dew_point_std", "dew_point_median", "dew_point_IQR",
+      "humidity_mean", "humidity_std", "humidity_median", "humidity_IQR",
+      "temp_mean", "temp_std", "temp_med", "temp_IQR", "precip_sum")
+    ours.zip(golden).foreach { case (a, b) =>
+      cols.foreach { c =>
+        val oc = if (c == "temp_med") "temp_median" else c
+        val ov = Option(a.getAs[Any](oc)).map(_.toString.toDouble)
+        val gv = Option(b.getAs[Any](c)).map(_.toString.toDouble)
+        assert(ov.isDefined && gv.isDefined && math.abs(ov.get - gv.get) < 1e-9,
+          s"col=$c ours=$ov golden=$gv")
+      }
+    }
+  }
+
   test("cache lookup hit/miss counters (G11, gps.py:544-545)") {
     val reqs = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("zipcode", "key")
     val cache = Seq((1L, "a", "payload")).toDF("zipcode", "key", "cached_report")

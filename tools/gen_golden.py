@@ -18,12 +18,15 @@ class _Col:
     def __init__(self, *a, **k): pass
 def _noop(*a, **k): return None
 fake_module('sqlalchemy', and_=_noop, create_engine=_noop,
-            Column=_Col, String=_Col, Float=_Col, DateTime=_Col)
+            Column=_Col, String=_Col, Float=_Col, DateTime=_Col,
+            Date=_Col, Time=_Col, Integer=_Col)
 fake_module('sqlalchemy.orm', sessionmaker=lambda **k: (lambda: None))
 fake_module('sqlalchemy.exc', IntegrityError=Exception)
 class _Base:
     metadata = types.SimpleNamespace(create_all=_noop)
+fake_module('sqlalchemy.ext', )
 fake_module('sqlalchemy.ext.declarative', declarative_base=lambda: _Base)
+fake_module('sqlalchemy.ext.hybrid', hybrid_property=property)
 class _tqdm:
     def __init__(self, it=None, **k): self.it = it
     def __iter__(self): return iter(self.it)
@@ -116,3 +119,30 @@ print('cluster_metrics rows:', len(cm), list(cm.columns))
 daily = gps.get_daily_metrics(enr.copy())
 daily.to_csv('/root/repo/src/test/resources/golden_daily.csv', index=False)
 print('daily rows:', len(daily), list(daily.columns))
+
+# 7. weather summarize_report over a deterministic hourly frame
+import importlib.util as _ilu
+spec_w = _ilu.spec_from_file_location('gscap.weather', '/root/reference/gscap/weather.py')
+weather = _ilu.module_from_spec(spec_w)
+sys.modules['gscap.weather'] = weather
+spec_w.loader.exec_module(weather)
+
+rows = []
+for e in range(72):  # 3 synthetic days × 24 hours
+    rows.append(dict(
+        cloudCover=(e * 7) % 100 / 100.0 if e % 11 else np.nan,  # some NaNs
+        dewPoint=(e * 11) % 150 / 10.0,
+        humidity=(e * 3) % 100 / 100.0,
+        temperature=e % 200 / 10.0,
+        precipIntensity=(e * 13) % 20 / 20.0,
+        icon='x'))
+frames = [pd.DataFrame(rows[i*24:(i+1)*24]) for i in range(3)]
+import collections
+Req = collections.namedtuple('Req', ['date', 'lat', 'lon', 'zipcode'])
+outs = []
+for i, f in enumerate(frames):
+    ri = Req(date=f'2019-06-0{i+1}', lat=38.1, lon=-86.9, zipcode=47579)
+    r = weather.summarize_report((dict(report=f, hits=1, misses=0), ri))
+    outs.append(r['report'])
+pd.DataFrame(outs).to_csv('/root/repo/src/test/resources/golden_weather.csv', index=False)
+print('weather golden rows:', len(outs))
