@@ -56,7 +56,7 @@ object OracleSql {
     val idx = s"(CASE WHEN ($pos - $r) > 0.5e0 THEN $r + 1e0" +
       s" WHEN ($pos - $r) < 0.5e0 THEN $r" +
       s" ELSE (CASE WHEN $r % 2e0 = 0e0 THEN $r ELSE $r + 1e0 END) END)"
-    s"(list_sort($listExpr)[CAST($idx AS BIGINT) + 1])"
+    s"(CASE WHEN len($listExpr) > 0 THEN list_sort($listExpr)[CAST($idx AS BIGINT) + 1] END)"
   }
 
   /** The GPS stream CTE (twin of Tables.gps). */

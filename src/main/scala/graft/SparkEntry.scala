@@ -337,9 +337,12 @@ object SparkEntry {
     })
   )
 
-  /** Triangle for the ray-cast PIP query (J11 exact-refine path). */
+  /** Triangle for the ray-cast PIP query (J11 exact-refine path).
+    * No two vertices share a latitude — a shared lat makes one edge's
+    * crossing test a trivially-true X<>X predicate (plan-log noise).
+    */
   val TestTriangle: Seq[(Double, Double)] =
-    Seq((39.999, -75.01), (40.05, -75.01), (39.999, -74.93))
+    Seq((39.999, -75.01), (40.05, -75.005), (39.95, -74.93))
 
   /** Synthetic Yelp alias dim for the poi_yelp query (reference ships the
     * full yelp_mappings.txt; semantics identical).
@@ -429,7 +432,19 @@ object SparkEntry {
           s"""  CAST(coalesce(sum(CASE WHEN binning = '$b' THEN time_delta END), 0) AS DOUBLE) / 36e2 AS hours_$b,
              |  round(coalesce(sum(CASE WHEN binning = '$b' THEN displacement END), 0e0), 3) AS distance_$b""".stripMargin
         }.mkString(",\n")
-        s"""WITH $labCtes
+        s"""WITH $labCtes,
+           |top3 AS (
+           |  SELECT user_id, cid FROM (
+           |    SELECT user_id, cid,
+           |      row_number() OVER (PARTITION BY user_id ORDER BY sum(time_delta) DESC, cid ASC) AS rk
+           |    FROM lab WHERE cid <> 'home' AND cid <> 'work' AND cid <> 'xNot'
+           |    GROUP BY user_id, cid) t
+           |  WHERE rk <= 3
+           |),
+           |lab2 AS (
+           |  SELECT l.*, (t.cid IS NOT NULL) AS is_top
+           |  FROM lab l LEFT JOIN top3 t ON l.user_id = t.user_id AND l.cid = t.cid
+           |)
            |SELECT user_id, CAST("date" AS TIMESTAMP) AS "date",
            |  CASE WHEN stddev_pop(lat) + stddev_pop(lon) > 0e0
            |       THEN round(ln(stddev_pop(lat) + stddev_pop(lon)), 3) END AS location_variance,
@@ -439,8 +454,9 @@ object SparkEntry {
            |  count(DISTINCT cid) AS number_of_clusters,
            |  CAST(coalesce(sum(CASE WHEN cid = 'home' THEN time_delta END), 0) AS DOUBLE) / 36e2 AS hours_in_home,
            |  CAST(coalesce(sum(CASE WHEN cid = 'work' THEN time_delta END), 0) AS DOUBLE) / 36e2 AS hours_in_work,
+           |  CAST(coalesce(sum(CASE WHEN is_top THEN time_delta END), 0) AS DOUBLE) / 36e2 AS hours_in_top3,
            |$binCols
-           |FROM lab GROUP BY user_id, "date"""".stripMargin
+           |FROM lab2 GROUP BY user_id, "date"""".stripMargin
       },
       "gps_entropy" ->
         s"""WITH $labCtes,
@@ -617,7 +633,7 @@ object SparkEntry {
            |SELECT user_id, CAST("date" AS TIMESTAMP) AS "date",
            |  CAST((epoch_us(first_ts) // 1000000 - epoch_us(CAST("date" AS TIMESTAMP)) // 1000000)
            |    + (CASE WHEN plast_ts IS NOT NULL
-           |            AND (epoch_us(first_ts) // 1000000 - epoch_us(plast_ts) // 1000000) <= 86400
+           |            AND (epoch_us(first_ts) - epoch_us(plast_ts)) <= 86400000000
            |            AND $distPrev <= 5e2
            |       THEN (epoch_us(CAST("date" AS TIMESTAMP)) // 1000000 - epoch_us(plast_ts) // 1000000) % 86400
            |       ELSE 0 END) AS DOUBLE) / 36e2 AS hours_of_sleep

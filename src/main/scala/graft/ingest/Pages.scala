@@ -79,11 +79,16 @@ object Pages {
     * text via the deterministic `loc:` pattern → grid cells. At web scale
     * the same shape applies to a broadcast gazetteer join on place names.
     */
-  def geocode(pages: DataFrame): DataFrame =
+  def geocode(pages: DataFrame): DataFrame = {
+    // non-matching text → regexp_extract returns '' — guard the cast so the
+    // miss becomes null (ANSI CAST('' AS LONG) would throw), mirroring the
+    // oracle's TRY_CAST
+    def grp(i: Int) = regexp_extract(col("text"), "loc:(-?\\d+),(-?\\d+)", i)
     pages
-      .withColumn("lat_u", regexp_extract(col("text"), "loc:(-?\\d+),(-?\\d+)", 1).cast("long"))
-      .withColumn("lon_u", regexp_extract(col("text"), "loc:(-?\\d+),(-?\\d+)", 2).cast("long"))
+      .withColumn("lat_u", when(grp(1) =!= "", grp(1).cast("long")))
+      .withColumn("lon_u", when(grp(2) =!= "", grp(2).cast("long")))
       .where(col("lat_u").isNotNull && col("lon_u").isNotNull)
       .withColumn("lat", col("lat_u").cast("double") / 1e6)
       .withColumn("lon", col("lon_u").cast("double") / 1e6)
+  }
 }

@@ -105,11 +105,14 @@ object Clustering {
       npRound(maxDist, 3))
   }
 
-  /** Hour-of-day / weekday in UTC (session TZ is pinned UTC). */
+  /** Hour-of-day / weekday derived in an EXPLICIT UTC zone — not the JVM
+    * default TZ (Timestamp.toLocalDateTime) — so the night/work-hour windows
+    * match the session-TZ-UTC SQL operators on any host or executor zone.
+    */
   private def hourOf(ts: Timestamp): Int =
-    ts.toLocalDateTime.getHour
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC).getHour
   private def isWeekday(ts: Timestamp): Boolean =
-    ts.toLocalDateTime.getDayOfWeek.getValue <= 5 // Mon=1..Fri=5 ⇔ python weekday()<5
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC).getDayOfWeek.getValue <= 5 // Mon=1..Fri=5 ⇔ python weekday()<5
 
   /** DBSCAN over a subset + top-cluster extraction (estimate_home/work shape,
     * gps.py:940-999). Returns (center, memberIdx-in-input).
@@ -238,7 +241,7 @@ object Clustering {
     val user = records.headOption.map(_.user_id).getOrElse(0L)
     val byDay = records
       .filter(r => r.cid == "xNot" && r.binning == "stationary")
-      .groupBy(_.ts.toLocalDateTime.toLocalDate)
+      .groupBy(_.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
     byDay.keys.toSeq.sorted.foreach { day =>
       val candidates = byDay(day).filter(r =>
         !centers.exists { case (cl, co) => haversine(r.lat, r.lon, cl, co) < minDistance })
@@ -258,25 +261,47 @@ object Clustering {
     (records.map(r => r.copy(cid = cids(r.event_id))), clusters ++ newClusters)
   }
 
+  /** Tagged per-user output row: exactly one of rec/clu is set. Lets the
+    * whole per-user pipeline (three DBSCAN runs, fences, center stats) run
+    * ONCE per group even when both outputs are consumed.
+    */
+  case class ContextOut(rec: Option[LabeledRecord], clu: Option[ClusterRow])
+
+  /** One flatMapGroups pass emitting both records and clusters as tagged
+    * rows; split downstream with a filter + select.
+    */
+  def contextTagged(points: DataFrame,
+                    eps: Double = 0.005, minSamples: Int = 100, fence: Double = 500.0)
+      : Dataset[ContextOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("lat"), col("lon"), col("binning"))
+      .as[EnrichedPoint]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (u, it) =>
+        val (rs, cs) = contextForUser(u, it.toSeq, eps, minSamples, fence)
+        rs.iterator.map(r => ContextOut(Some(r), None)) ++
+          cs.iterator.map(c => ContextOut(None, Some(c)))
+      }
+  }
+
   /** Distributed wiring: one shuffle on user_id; all sequential reference
-    * semantics run inside each group.
+    * semantics run inside each group — in a SINGLE group pass. The tagged
+    * frame is lazily persisted so that a consumer of both outputs (e.g. the
+    * full §3.1 pipeline) re-sorts and re-DBSCANs each user once, not twice;
+    * single-output consumers pay nothing extra beyond the cache write.
     */
   def clustersWithContext(points: DataFrame,
                           eps: Double = 0.005, minSamples: Int = 100, fence: Double = 500.0)
       : (Dataset[LabeledRecord], Dataset[ClusterRow]) = {
     val spark = points.sparkSession
     import spark.implicits._
-    val ds = points
-      .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        col("ts"), col("lat"), col("lon"), col("binning"))
-      .as[EnrichedPoint]
-    val grouped = ds.groupByKey(_.user_id)
-    val records = grouped.flatMapGroups { (u, it) =>
-      contextForUser(u, it.toSeq, eps, minSamples, fence)._1.iterator
-    }
-    val clusters = grouped.flatMapGroups { (u, it) =>
-      contextForUser(u, it.toSeq, eps, minSamples, fence)._2.iterator
-    }
+    val tagged = contextTagged(points, eps, minSamples, fence)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val records  = tagged.where(col("rec").isNotNull).select(col("rec.*")).as[LabeledRecord]
+    val clusters = tagged.where(col("clu").isNotNull).select(col("clu.*")).as[ClusterRow]
     (records, clusters)
   }
 }

@@ -38,8 +38,15 @@ object DailyFeatures {
 
   /** Input: enriched points (user_id, ts, date, lat, lon, time_delta,
     * displacement, binning, cid). One row per (user_id, date).
+    *
+    * Includes hours_in_top3 (gps.py:1443-1456 + 1377-1382): dwell in the
+    * user's top-3 non-home/work/noise clusters — the top-3 set is a tiny
+    * per-user aggregate broadcast-joined back before the single wide agg.
     */
-  def daily(points: DataFrame, refRounding: Boolean = true): DataFrame = {
+  def daily(points: DataFrame, refRounding: Boolean = true, topK: Int = 3): DataFrame = {
+    val top = topClusters(points, topK)
+      .select(col("user_id"), col("cid"), lit(true).as("is_top"))
+    val pts = points.join(broadcast(top), Seq("user_id", "cid"), "left")
     val binAggs = Motion.Bins.flatMap { b =>
       Seq(
         hoursIn(col("binning") === b, refRounding).as(s"hours_$b"),
@@ -58,8 +65,9 @@ object DailyFeatures {
       max(col("cid") === "work").as("came_to_work"),
       countDistinct("cid").as("number_of_clusters"),
       hoursIn(col("cid") === "home", refRounding).as("hours_in_home"),
-      hoursIn(col("cid") === "work", refRounding).as("hours_in_work")) ++ binAggs
-    points
+      hoursIn(col("cid") === "work", refRounding).as("hours_in_work"),
+      hoursIn(col("is_top"), refRounding).as("hours_in_top3")) ++ binAggs
+    pts
       .groupBy("user_id", "date")
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -95,11 +95,16 @@ object DistributedDbscan {
 
     // adaptive CC strategy (same spirit as the broadcast-join threshold):
     // a small core-edge set is solved by driver-side union-find in one pass;
-    // a large one runs the distributed min-label propagation loop
+    // a large one runs the distributed min-label propagation loop.
+    // Memory guard: each collected edge costs two boxed longs + HashMap
+    // entry ≈ 64 B driver heap → the 5M default is ~320 MB worst case;
+    // tune via graft.dbscan.unionFindMaxEdges to match driver RAM.
     val spark = points.sparkSession
+    val unionFindMaxEdges =
+      spark.conf.getOption("graft.dbscan.unionFindMaxEdges").map(_.toLong).getOrElse(5_000_000L)
     val nEdges = coreEdges.count()
     var comp: DataFrame = null
-    if (nEdges <= 5_000_000L) {
+    if (nEdges <= unionFindMaxEdges) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -118,25 +123,31 @@ object DistributedDbscan {
     } else {
       comp = core.select(col("uid"), col("uid").as("comp"))
         .localCheckpoint(eager = true)
-      var changed = 1L
+      var converged = false
       var iter = 0
-      while (changed > 0 && iter < 50) {
+      while (!converged && iter < 50) {
         val viaNeighbors = coreEdges
           .join(comp.withColumnRenamed("uid", "b_uid").withColumnRenamed("comp", "nc"), Seq("b_uid"))
           .groupBy(col("a_uid").as("uid"))
           .agg(min("nc").as("minNc"))
         // min-propagation + pointer-halving (comp ← comp(comp)) for
-        // O(log diameter) convergence
+        // O(log diameter) convergence; the round-start comp rides along as
+        // `old` so convergence is detectable from the checkpointed frame
+        // alone (no extra join job)
         val prop = comp.join(viaNeighbors, Seq("uid"), "left")
-          .select(col("uid"), least(col("comp"), coalesce(col("minNc"), col("comp"))).as("comp"))
+          .select(col("uid"), col("comp").as("old"),
+            least(col("comp"), coalesce(col("minNc"), col("comp"))).as("comp"))
         val halved = prop.as("p")
           .join(prop.select(col("uid").as("comp"), col("comp").as("cc")).as("m"), Seq("comp"), "left")
-          .select(col("uid"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+          .select(col("uid"), col("old"),
+            least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
           .localCheckpoint(eager = true)
-        changed = halved.join(comp.withColumnRenamed("comp", "old"), Seq("uid"))
-          .where(col("comp") =!= col("old")).count()
-        comp = halved
         iter += 1
+        // probe convergence every 2nd round only — a cheap scan over the
+        // local checkpoint, half as many probe jobs as checking every round
+        if (iter % 2 == 0 || iter >= 50)
+          converged = halved.where(col("comp") =!= col("old")).count() == 0L
+        comp = halved.select("uid", "comp")
       }
     }
 
@@ -149,10 +160,21 @@ object DistributedDbscan {
 
     val assigned = comp.unionByName(borderComp)
 
-    // 5. canonical labels by component minimum uid (= minimum point id)
-    val compMin = assigned.groupBy("comp").agg(min("uid").as("cmin"))
-    val ranked = compMin.select(col("comp"),
-      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("cmin")) - 1).as("label"))
+    // 5. canonical labels by component minimum uid (= minimum point id).
+    // The component frame is small BY CONSTRUCTION (every component holds
+    // ≥ minSamples points → #components ≤ N/minSamples), so rank it on the
+    // driver and broadcast-join the (comp → label) map back — no
+    // single-partition global window in the plan.
+    val maxComponents =
+      spark.conf.getOption("graft.dbscan.maxComponents").map(_.toLong).getOrElse(10_000_000L)
+    val compMinRows = assigned.groupBy("comp").agg(min("uid").as("cmin")).collect()
+    require(compMinRows.length <= maxComponents,
+      s"${compMinRows.length} DBSCAN components exceed graft.dbscan.maxComponents=" +
+        s"$maxComponents — raise the conf (driver heap permitting) or raise minSamples")
+    val labelPairs = compMinRows.sortBy(_.getLong(1)).zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i) }.toSeq
+    import spark.implicits._
+    val ranked = broadcast(labelPairs.toDF("comp", "label"))
 
     val coordLabels = uniq.select("lat", "lon", "uid")
       .join(assigned.join(ranked, Seq("comp")).select("uid", "label"), Seq("uid"), "left")

@@ -59,21 +59,37 @@ object Spatial {
     }.reduce(_ + _) % 2 === 1
   }
 
+  /** Argmin over an already-scored join: one hash aggregation
+    * `min(struct(d2, dimKey, rest…))` per point — the struct ordering
+    * compares (d2, dimKey) first, which IS the window tie-break, and dimKey
+    * uniquely determines every remaining field. Map-side partial combine,
+    * no sort, no second shuffle (the window form shuffled AND sorted the
+    * full N×|dim| scored rows — the 100× killer).
+    */
+  private def argminJoin(scored: DataFrame, pointKeys: Seq[String], dimKey: String,
+                         exclude: Seq[String] = Nil): DataFrame = {
+    val fields = "d2" +: dimKey +:
+      scored.columns.filterNot(c => pointKeys.contains(c) || c == "d2" || c == dimKey ||
+        exclude.contains(c)).toSeq
+    scored
+      .groupBy(pointKeys.map(col): _*)
+      .agg(min(struct(fields.map(col): _*)).as("best"))
+      .select(pointKeys.map(col) ++ fields.map(f => col(s"best.`$f`").as(f)): _*)
+  }
+
   /** kNN join (k=1): nearest dim row for every point, euclidean-on-degrees
     * (the reference's KDTree metric, gscap/utils.py:141-158), deterministic
     * tie-break on the dim key. Dim is broadcast; at web scale the probe side
-    * stays partitioned and only the dim replicates (no shuffle of points).
+    * stays partitioned and only the dim replicates (no shuffle of points);
+    * the argmin is a map-side-combining min(struct) aggregation.
     */
   def nearestNeighbor(points: DataFrame, dim: DataFrame, dimKey: String,
                       pointKeys: Seq[String]): DataFrame = {
     val d2 = Geo.euclidDeg2(col("lat"), col("lon"), col("d_lat"), col("d_lon"))
-    val w  = Window.partitionBy(pointKeys.map(col): _*).orderBy(col("d2").asc, col(dimKey).asc)
-    points
+    val scored = points
       .join(broadcast(dim), lit(true), "inner")
       .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn")
+    argminJoin(scored, pointKeys, dimKey)
   }
 
   /** kNN via grid-cell rings (the J5 scale path, SURVEY.md: "H3-index the
@@ -102,11 +118,9 @@ object Spatial {
       val probes = remaining.withColumn("probe_cell", explode(Grid.kRing(col("cell"), res, k)))
       val cand = probes.join(
         broadcast(dimCells.withColumnRenamed("cell", "probe_cell")), Seq("probe_cell"))
-      val w = Window.partitionBy(pointKey).orderBy(col("d2").asc, col(dimKey).asc)
-      val hit = cand.withColumn("d2", d2)
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .withColumn("d2", d2)
+      val hit = argminJoin(cand, Seq(pointKey), dimKey, exclude = Seq("probe_cell"))
         .where(sqrt(col("d2")) <= k * cellHeight) // coverage guarantee
-        .drop("rn", "probe_cell")
       out = if (out == null) hit else out.unionByName(hit)
       remaining = remaining.join(hit.select(pointKey), Seq(pointKey), "left_anti")
       k += 1

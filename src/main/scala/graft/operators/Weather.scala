@@ -32,7 +32,10 @@ object Weather {
     val idx  = when(frac > 0.5, r + 1)
       .when(frac < 0.5, r)
       .otherwise(when(r % 2 === 0, r).otherwise(r + 1))
-    try_element_at(arr, idx.cast("int") + lit(1))
+    // empty group (a metric entirely null for the day): np.nanpercentile
+    // yields NaN → null here; the guard also keeps the computed index
+    // (idx+1 = 0 on empty) away from try_element_at's INVALID_INDEX_OF_ZERO
+    when(size(arr) > 0, try_element_at(arr, idx.cast("int") + lit(1)))
   }
 
   /** Daily summary of hourly reports. Input columns: zipcode, lat, lon,

@@ -158,9 +158,9 @@ class GoldenSpec extends SparkSpec {
       .withColumn("date", col("ts").cast("date"))
       .withColumn("cid",
         concat(lit("x"), pmod(floor(col("lat") * 1e5).cast("long"), lit(3L)).cast("string")))
+    // hours_in_top3 now comes from daily() itself (folded into the wide agg)
     val daily = DailyFeatures.daily(enriched, refRounding = true)
       .join(DailyFeatures.sleepEstimate(enriched, refRounding = true), Seq("user_id", "date"))
-      .join(DailyFeatures.hoursInTopK(enriched), Seq("user_id", "date"))
     val ours = daily.orderBy("date").collect()
 
     val golden = spark.read.option("header", "true").option("inferSchema", "true")
