@@ -146,6 +146,57 @@ object OracleSql {
        |)""".stripMargin
   }
 
+  /** Gap-imputation CTEs (twin of Motion.imputeStationary, reference
+    * gscap/gps.py:1611-1746): emits `imputed(user_id, event_id, ts, lat,
+    * lon)` — the endpoint-exclusive 600 s fill rows with np.linspace
+    * interpolation (identical operation order: prev + (cur−prev) ·
+    * (pos/(n_fill−1)), degenerate n_fill=1 → prev). pos is recovered from
+    * the fill timestamp ((fill−start)//600), the exact posexplode index.
+    */
+  val imputeCtes: String = {
+    val meters = hav("plat", "plon", "lat", "lon")
+    val vraw   = "(CASE WHEN secsmod <> 0 THEN meters / CAST(secsmod AS DOUBLE) END)"
+    val posd   = "CAST((fill_sec - (psec + 600)) // 600 AS DOUBLE)"
+    val fracd  = s"($posd / CAST(n_fill - 1 AS DOUBLE))"
+    s"""ilag AS (
+       |  SELECT user_id, event_id, ts, lat, lon,
+       |    lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lag(ts) OVER w AS pts
+       |  FROM gps WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |),
+       |imet AS (
+       |  SELECT *, $meters AS meters,
+       |    abs(epoch_us(ts) // 1000000 - epoch_us(pts) // 1000000) % 86400 AS secsmod,
+       |    epoch_us(ts) // 1000000 - epoch_us(pts) // 1000000 AS gapsec,
+       |    epoch_us(pts) // 1000000 AS psec,
+       |    epoch_us(ts) // 1000000 AS csec
+       |  FROM ilag
+       |),
+       |ielig AS (
+       |  SELECT * FROM imet
+       |  WHERE pts IS NOT NULL
+       |    AND ((meters >= 0e0 AND meters < 4.9e0)
+       |         OR ($vraw > 0e0 AND $vraw < 0.7e0))
+       |    AND round(meters, 1) <= 75e0
+       |    AND secsmod <= 43200
+       |    AND gapsec > 600
+       |),
+       |ifill AS (
+       |  SELECT user_id, plat, plon, lat AS clat, lon AS clon, psec, csec,
+       |    unnest(generate_series(psec + 600, csec - 1, 600)) AS fill_sec,
+       |    (csec - 1 - (psec + 600)) // 600 + 1 AS n_fill
+       |  FROM ielig
+       |),
+       |imputed AS (
+       |  SELECT user_id, CAST(-1 AS BIGINT) AS event_id,
+       |    make_timestamp(fill_sec * 1000000) AS ts,
+       |    CASE WHEN n_fill = 1 THEN plat
+       |         ELSE plat + (clat - plat) * $fracd END AS lat,
+       |    CASE WHEN n_fill = 1 THEN plon
+       |         ELSE plon + (clon - plon) * $fracd END AS lon
+       |  FROM ifill
+       |)""".stripMargin
+  }
+
   /** Labeled-points CTE (twin of Pipelines.labeledPoints): adds date, cell18,
     * cid ∈ {home, work, x<cell>} via 500 m haversine fences to the per-user
     * home/work sites.

@@ -228,11 +228,54 @@ object SparkEntry {
     }),
 
     // ---- gap imputation (H3, gscap/gps.py:1611-1746) --------------------
+    // per-row: every imputed timestamp and its linspace-interpolated coords
+    // are oracle-checked (exact: identical interp operation order)
     "gps_impute" -> ((s, d) =>
       Motion.imputeStationary(Tables.gps(s, d))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_points"),
-          sum(when(col("event_id") === -1L, 1L).otherwise(0L)).as("n_imputed"))),
+        .select("user_id", "event_id", "ts", "lat", "lon")),
+
+    // ---- validation (B8/H10, gscap/utils.py:231-251, gps.py:137-153) ----
+    // range check + (0,0)-invalid nulling + zip −1 sentinel beyond the kNN
+    // distance bound (zip_from_dd distance_upper_bound semantics)
+    "gps_valid" -> ((s, d) => {
+      val m = col("event_id") % 11
+      val latx = when(m === 0, lit(91.5)) // lat out of range
+        .when(m === 1, lit(0.0))          // null island
+        .otherwise(lit(40.0) + (col("event_id") % 13).cast("double") * 2e-4)
+      val lonx = when(m === 0, lit(-75.0))
+        .when(m === 1, lit(0.0))
+        .when(m === 2, lit(-181.0))       // lon out of range
+        .otherwise(lit(-75.0) + (col("event_id") % 17).cast("double") * 2e-4)
+      val pts = Tables.events(s, d).select(col("event_id"), latx.as("lat"), lonx.as("lon"))
+      val validated = operators.Validation.validate(pts)
+      val zips = nationSites(s, d)
+        .select((col("n_nationkey") + 10000).cast("long").as("zipcode"), col("d_lat"), col("d_lon"))
+      val hit = Spatial.nearestNeighbor(validated.where(col("valid")), zips, "zipcode", Seq("event_id"))
+        .select(col("event_id"), col("lat"), col("lon"), col("valid"),
+          operators.Validation.zipWithin(col("zipcode"), col("d2"), 0.002).as("zipcode"))
+      val bad = validated.where(!col("valid"))
+        .select(col("event_id"), col("lat"), col("lon"), col("valid"), lit(-1L).as("zipcode"))
+      hit.unionByName(bad)
+    }),
+
+    // ---- weather request front door (weather.py:500-560, 414-419) -------
+    "weather_requests" -> ((s, d) => {
+      val reqs = Tables.events(s, d).select(
+        col("event_id").as("req_id"),
+        when(col("event_id") % 3 === 0,
+          when(col("event_id") % 9 === 0, lit(99999L))
+            .otherwise((col("event_id") % 15) + 10000L)).as("zipcode"),
+        when(col("event_id") % 3 =!= 0,
+          when(col("event_id") % 21 === 1, lit(91.0))
+            .otherwise(lit(40.0) + (col("event_id") % 7).cast("double") * 1e-3)).as("lat"),
+        when(col("event_id") % 3 =!= 0,
+          lit(-75.0) + (col("event_id") % 5).cast("double") * 1e-3).as("lon"),
+        col("ts").cast("date").as("date"))
+      val zips = nationSites(s, d)
+        .select((col("n_nationkey") + 10000).cast("long").as("zipcode"), col("d_lat"), col("d_lon"))
+      operators.Weather.verifyRequests(reqs, zips)
+        .withColumn("date", col("date").cast("timestamp"))
+    }),
 
     // ---- pages: extraction + geocode + sleep (H12/H14/G6, north rule) ---
     "pages_text" -> ((s, d) =>
@@ -266,6 +309,16 @@ object SparkEntry {
       operators.Poi.parseYelp(
         Tables.events(s, d).select(col("event_id"), content.as("content")),
         SparkEntry.YelpAliases.toMap)
+        .select("event_id", "name", "rank_order", "categories", "major_categories")
+    }),
+
+    // ---- POI gmap lattice (H6/H7/H8, gscap/gps.py:338-448) --------------
+    "poi_gmap" -> ((s, d) => {
+      val m = (col("event_id") % 14).cast("int")
+      val content = element_at(typedlit(SparkEntry.GmapPayloads), m + 1)
+      operators.Poi.parseGmap(
+        Tables.events(s, d).select(col("event_id"), content.as("content")),
+        SparkEntry.GmapMappings)
         .select("event_id", "name", "rank_order", "categories", "major_categories")
     }),
 
@@ -350,6 +403,61 @@ object SparkEntry {
   val YelpAliases: Seq[(String, String)] = Seq(
     "banks" -> "finance", "bars" -> "dining_out", "coffee" -> "dining_out",
     "gyms" -> "health", "plumbing" -> "home_services", "tacos" -> "dining_out")
+
+  /** Synthetic gmap type→major dim (the reference's gmap_mappings.txt shape,
+    * gps.py:294-316).
+    */
+  val GmapMappings: Map[String, String] = Map(
+    "campground" -> "lodging", "restaurant" -> "dining_out",
+    "supermarket" -> "consumer_goods", "store" -> "consumer_goods",
+    "food" -> "dining_out", "department_store" -> "consumer_goods",
+    "gas_station" -> "transportation", "lodging" -> "lodging",
+    "transit_station" -> "transportation", "health" -> "health",
+    "finance" -> "finance", "bakery" -> "dining_out")
+
+  /** 14 deterministic gmap payload variants (selected by event_id % 14),
+    * jointly covering parse_gmap_response's lattice (gps.py:338-448):
+    * hyperlink strip, ignored-type skipping + rank_order enumerate,
+    * named-store overrides, gas/lodging/transit/health-doctor/health-store/
+    * store-finance/restaurant branches, the not-found / error / corrupt
+    * sentinels. The oracle recomputes the EXPECTED outputs per variant (the
+    * poi_yelp pattern), so the whole lattice is end-to-end verified.
+    */
+  val GmapPayloads: Seq[String] = Seq(
+    """{"results": [{"name": "<a href=\"https://maps.example/c\">Camp A</a>", "types": ["campground", "point_of_interest"]}], "status": "OK"}""",
+    """{"results": [{"name": "city", "types": ["locality", "political"]}, {"name": "Shop B", "types": ["store", "establishment"]}]}""",
+    """{"results": [{"name": "Sears", "types": ["store", "establishment"]}]}""",
+    """{"results": [{"name": "Fred Meyer", "types": ["grocery_or_supermarket", "store"]}]}""",
+    """{"results": [{"name": "Gas C", "types": ["gas_station", "food", "store"]}]}""",
+    """{"results": [{"name": "Hotel D", "types": ["lodging", "spa"]}]}""",
+    """{"results": [{"name": "Stop E", "types": ["transit_station", "bus_station"]}]}""",
+    """{"results": [{"name": "Clinic F", "types": ["health", "doctor"]}]}""",
+    """{"results": [{"name": "Pharm G", "types": ["health", "store", "pharmacy"]}]}""",
+    """{"results": [{"name": "ATM H", "types": ["finance", "store", "atm"]}]}""",
+    """{"results": [{"name": "Rest I", "types": ["restaurant", "bakery", "food"]}]}""",
+    """{"results": [{"name": "city", "types": ["locality", "political"]}]}""",
+    """{"error": "quota_exceeded"}""",
+    """{nope""")
+
+  /** Expected parseGmap outputs per payload variant, hand-traced through the
+    * lattice (pinned again in PoiSpec): (name, rank_order, categories,
+    * major_categories).
+    */
+  val GmapExpected: Seq[(String, Int, String, String)] = Seq(
+    ("Camp A", 0, "campground", "lodging"),
+    ("Shop B", 1, "store", "consumer_goods"),
+    ("Sears", 0, "department_store", "consumer_goods"),
+    ("Fred Meyer", 0, "supermarket", "consumer_goods"),
+    ("Gas C", 0, "gas_station", "transportation"),
+    ("Hotel D", 0, "lodging", "lodging"),
+    ("Stop E", 0, "transit_station", "transportation"),
+    ("Clinic F", 0, "health", "health"),
+    ("Pharm G", 0, "supermarket", "consumer_goods"),
+    ("ATM H", 0, "finance", "finance"),
+    ("Rest I", 0, "bakery", "dining_out"),
+    ("not found", -1, "none", "none"),
+    ("quota_exceeded", -1, "none", "none"),
+    ("JSONDecodeError", -1, "{nope", "JSONDecodeError"))
 
   def oracleSql: Map[String, String] = {
     import OracleSql.{gpsCte, labCtes, velCtes, visitCtes}
@@ -567,6 +675,111 @@ object SparkEntry {
            |SELECT a.id AS id1, b.id AS id2,
            |  round(${hav("a.lat", "a.lon", "b.lat", "b.lon")}, 1) AS distance
            |FROM u a JOIN u b ON a.id < b.id""".stripMargin,
+
+      "gps_impute" ->
+        s"""WITH $gpsCte, ${OracleSql.imputeCtes}
+           |SELECT user_id, event_id, ts, lat, lon FROM gps
+           |UNION ALL
+           |SELECT user_id, event_id, ts, lat, lon FROM imputed""".stripMargin,
+
+      "gps_valid" -> {
+        val e2 = euclid2("v.lat", "v.lon", "z.d_lat", "z.d_lon")
+        s"""WITH sites AS (
+           |  SELECT CAST(n_nationkey + 10000 AS BIGINT) AS zipcode,
+           |    4e1 + CAST(n_nationkey % 5 AS DOUBLE) * 1e-2 + 2e-3 AS d_lat,
+           |    -75e0 + CAST(n_nationkey % 3 AS DOUBLE) * 1e-2 + 2e-3 AS d_lon
+           |  FROM nation
+           |),
+           |pts AS (
+           |  SELECT event_id,
+           |    CASE WHEN event_id % 11 = 0 THEN 91.5e0
+           |         WHEN event_id % 11 = 1 THEN 0e0
+           |         ELSE 4e1 + CAST(event_id % 13 AS DOUBLE) * 2e-4 END AS lat,
+           |    CASE WHEN event_id % 11 = 0 THEN -75e0
+           |         WHEN event_id % 11 = 1 THEN 0e0
+           |         WHEN event_id % 11 = 2 THEN -181e0
+           |         ELSE -75e0 + CAST(event_id % 17 AS DOUBLE) * 2e-4 END AS lon
+           |  FROM events
+           |),
+           |vv AS (
+           |  SELECT event_id, lat, lon,
+           |    (lat >= -9e1 AND lat <= 9e1 AND lon >= -18e1 AND lon <= 18e1
+           |     AND NOT (lat = 0e0 AND lon = 0e0)) AS valid
+           |  FROM pts
+           |),
+           |rk AS (
+           |  SELECT v.event_id, v.lat, v.lon, z.zipcode, $e2 AS d2,
+           |    row_number() OVER (PARTITION BY v.event_id ORDER BY $e2 ASC, z.zipcode ASC) AS rn
+           |  FROM (SELECT * FROM vv WHERE valid) v CROSS JOIN sites z
+           |)
+           |SELECT event_id, lat, lon, TRUE AS valid,
+           |  CAST(CASE WHEN d2 <= 0.002e0 * 0.002e0 THEN zipcode ELSE -1 END AS BIGINT) AS zipcode
+           |FROM rk WHERE rn = 1
+           |UNION ALL
+           |SELECT event_id, CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon, valid,
+           |  CAST(-1 AS BIGINT) AS zipcode
+           |FROM vv WHERE NOT valid""".stripMargin
+      },
+
+      "weather_requests" -> {
+        val e2 = euclid2("l.lat", "l.lon", "z.d_lat", "z.d_lon")
+        s"""WITH sites AS (
+           |  SELECT CAST(n_nationkey + 10000 AS BIGINT) AS zipcode,
+           |    4e1 + CAST(n_nationkey % 5 AS DOUBLE) * 1e-2 + 2e-3 AS d_lat,
+           |    -75e0 + CAST(n_nationkey % 3 AS DOUBLE) * 1e-2 + 2e-3 AS d_lon
+           |  FROM nation
+           |),
+           |reqs AS (
+           |  SELECT event_id AS req_id,
+           |    CASE WHEN event_id % 3 = 0 THEN
+           |      CAST(CASE WHEN event_id % 9 = 0 THEN 99999 ELSE (event_id % 15) + 10000 END AS BIGINT)
+           |    END AS zipcode,
+           |    CASE WHEN event_id % 3 <> 0 THEN
+           |      CASE WHEN event_id % 21 = 1 THEN 91e0 ELSE 4e1 + CAST(event_id % 7 AS DOUBLE) * 1e-3 END
+           |    END AS lat,
+           |    CASE WHEN event_id % 3 <> 0 THEN -75e0 + CAST(event_id % 5 AS DOUBLE) * 1e-3 END AS lon,
+           |    CAST(ts AS DATE) AS "date"
+           |  FROM events
+           |),
+           |zf AS (
+           |  SELECT r.req_id, r.zipcode,
+           |    coalesce(z.d_lat, 0e0) AS lat, coalesce(z.d_lon, 0e0) AS lon, r."date"
+           |  FROM reqs r LEFT JOIN sites z ON r.zipcode = z.zipcode
+           |  WHERE r.zipcode IS NOT NULL
+           |    AND NOT (coalesce(z.d_lat, 0e0) = 0e0 AND coalesce(z.d_lon, 0e0) = 0e0)
+           |),
+           |lf0 AS (
+           |  SELECT * FROM reqs WHERE zipcode IS NULL
+           |    AND lat IS NOT NULL AND lon IS NOT NULL
+           |    AND lat >= -9e1 AND lat <= 9e1 AND lon >= -18e1 AND lon <= 18e1
+           |),
+           |lfrk AS (
+           |  SELECT l.req_id, z.zipcode, l.lat, l.lon, l."date",
+           |    row_number() OVER (PARTITION BY l.req_id ORDER BY $e2 ASC, z.zipcode ASC) AS rn
+           |  FROM lf0 l CROSS JOIN sites z
+           |),
+           |allr AS (
+           |  SELECT req_id, zipcode, lat, lon, "date" FROM zf
+           |  UNION ALL
+           |  SELECT req_id, zipcode, lat, lon, "date" FROM lfrk WHERE rn = 1
+           |)
+           |SELECT req_id, zipcode, lat, lon, CAST("date" AS TIMESTAMP) AS "date",
+           |  CAST("date" AS TIMESTAMP) + INTERVAL 12 HOUR AS noon_ts
+           |FROM allr""".stripMargin
+      },
+
+      "poi_gmap" -> {
+        def caseOf(f: ((String, Int, String, String)) => String): String =
+          "CASE event_id % 14 " + GmapExpected.zipWithIndex.map { case (t, i) =>
+            s"WHEN $i THEN ${f(t)}" }.mkString(" ") + " END"
+        val nameC = caseOf(t => s"'${t._1}'")
+        val rankC = caseOf(t => s"${t._2}")
+        val catC  = caseOf(t => s"'${t._3}'")
+        val majC  = caseOf(t => s"'${t._4}'")
+        s"""SELECT event_id, $nameC AS name, $rankC AS rank_order,
+           |  $catC AS categories, $majC AS major_categories
+           |FROM events""".stripMargin
+      },
 
       "poi_yelp" -> {
         val aliasCase =

@@ -59,12 +59,15 @@ object Spatial {
     }.reduce(_ + _) % 2 === 1
   }
 
-  /** Argmin over an already-scored join: one hash aggregation
-    * `min(struct(d2, dimKey, rest…))` per point — the struct ordering
-    * compares (d2, dimKey) first, which IS the window tie-break, and dimKey
-    * uniquely determines every remaining field. Map-side partial combine,
-    * no sort, no second shuffle (the window form shuffled AND sorted the
-    * full N×|dim| scored rows — the 100× killer).
+  /** Argmin over an already-scored join: `min(struct(d2, dimKey, rest…))`
+    * per point — the struct ordering compares (d2, dimKey) first, which IS
+    * the window tie-break, and dimKey uniquely determines every remaining
+    * field. Map-side partial combine, shuffle bounded to one row per point
+    * (the window form shuffled AND sorted the full scored-row set — the
+    * 100× killer). Struct-min plans as SortAggregate (a struct buffer is
+    * not hash-aggregable), so use this where per-point candidate fanout is
+    * already small (cell-ring joins); the brute-force path below uses a
+    * pure-hash two-pass instead.
     */
   private def argminJoin(scored: DataFrame, pointKeys: Seq[String], dimKey: String,
                          exclude: Seq[String] = Nil): DataFrame = {
@@ -79,17 +82,34 @@ object Spatial {
 
   /** kNN join (k=1): nearest dim row for every point, euclidean-on-degrees
     * (the reference's KDTree metric, gscap/utils.py:141-158), deterministic
-    * tie-break on the dim key. Dim is broadcast; at web scale the probe side
-    * stays partitioned and only the dim replicates (no shuffle of points);
-    * the argmin is a map-side-combining min(struct) aggregation.
+    * tie-break on the dim key. Dim is broadcast; the probe side never
+    * shuffles at full width. Two-pass pure-HASH argmin (no window, no sort
+    * anywhere in the plan):
+    *   1. min(d2) per point — HashAggregate with map-side partial combine
+    *      (group keys include every point column: functionally dependent on
+    *      the point key, all primitive → hashable);
+    *   2. re-score against the broadcast dim, keep rows hitting the min
+    *      (identical expression → identical double bits), tie-break
+    *      min(dimKey) — a second primitive HashAggregate — then recover the
+    *      winning dim row by an equi broadcast join on dimKey.
+    * The rescoring repeats O(N·|dim|) arithmetic but never materializes,
+    * sorts, or shuffles the scored rows.
     */
   def nearestNeighbor(points: DataFrame, dim: DataFrame, dimKey: String,
                       pointKeys: Seq[String]): DataFrame = {
     val d2 = Geo.euclidDeg2(col("lat"), col("lon"), col("d_lat"), col("d_lon"))
-    val scored = points
+    val ptCols = points.columns.toSeq
+    val minD2 = points
       .join(broadcast(dim), lit(true), "inner")
-      .withColumn("d2", d2)
-    argminJoin(scored, pointKeys, dimKey)
+      .groupBy(ptCols.map(col): _*)
+      .agg(min(d2).as("d2"))
+    val tieBroken = minD2
+      .join(broadcast(dim), d2 === col("d2"), "inner")
+      .groupBy((ptCols :+ "d2").map(col): _*)
+      .agg(min(col(dimKey)).as(dimKey))
+    tieBroken.join(broadcast(dim.withColumnRenamed(dimKey, s"__dk")),
+        col(dimKey) === col("__dk"), "inner")
+      .drop("__dk")
   }
 
   /** kNN via grid-cell rings (the J5 scale path, SURVEY.md: "H3-index the

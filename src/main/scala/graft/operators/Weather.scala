@@ -60,6 +60,42 @@ object Weather {
     hourly.groupBy("zipcode", "lat", "lon", "date").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** verify_request front door (gscap/weather.py:500-560) + the noon anchor
+    * of process_request (weather.py:414-419).
+    *
+    * Input rows: (req_id, zipcode nullable, lat nullable, lon nullable,
+    * date). Non-null zipcode marks the 2-tuple (zipcode, date) form; null
+    * zipcode the 3-tuple (lat, lon, date) form.
+    *   - zip form: (lat, lon) = zip centroid (dd_from_zip,
+    *     utils.py:102-118); unknown zip → (0,0) → request DROPPED
+    *     (verify_zipcode_date_request returns None, weather.py:530-533);
+    *   - latlon form: range check (the reference raises on out-of-range,
+    *     weather.py:552-553 — the engine filters, one bad row must not kill
+    *     the job); zipcode = nearest zip by euclidean-degree 1-NN
+    *     (zip_from_dd with suppress_warnings=True → unbounded distance);
+    *   - surviving requests are anchored at hour 12 of their date
+    *     (process_request, weather.py:414-419).
+    *
+    * zipDim: (zipcode, d_lat, d_lon) — broadcast-sized; the kNN is the J5
+    * operator (broadcast argmin aggregation, no point shuffle).
+    */
+  def verifyRequests(requests: DataFrame, zipDim: DataFrame): DataFrame = {
+    val zipForm = requests.where(col("zipcode").isNotNull)
+      .join(broadcast(zipDim.withColumnRenamed("zipcode", "z_zip")),
+        col("zipcode") === col("z_zip"), "left")
+      .select(col("req_id"), col("zipcode"),
+        coalesce(col("d_lat"), lit(0.0)).as("lat"),
+        coalesce(col("d_lon"), lit(0.0)).as("lon"), col("date"))
+      .where(!(col("lat") === 0.0 && col("lon") === 0.0))
+    val latlonOk = requests.where(col("zipcode").isNull)
+      .where(Validation.inRange(col("lat"), col("lon")))
+      .select("req_id", "lat", "lon", "date")
+    val latlonForm = Spatial.nearestNeighbor(latlonOk, zipDim, "zipcode", Seq("req_id"))
+      .select(col("req_id"), col("zipcode"), col("lat"), col("lon"), col("date"))
+    zipForm.unionByName(latlonForm)
+      .withColumn("noon_ts", col("date").cast("timestamp") + expr("INTERVAL 12 HOURS"))
+  }
+
   /** Cache-lookup join (A2/J3/G11): left-join requests against the cache
     * relation on its composite key; unresolved rows are the misses that a
     * batch fetch (pre-materialized table at this engine's scale) fills.

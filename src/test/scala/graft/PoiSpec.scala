@@ -53,6 +53,20 @@ class PoiSpec extends SparkSpec {
     assert(r.getAs[String]("categories") === "{nope")
   }
 
+  test("gmap: all 14 driver payload variants match the hand-traced lattice outputs") {
+    // the same fixtures the poi_gmap driver query + oracle use — pins the
+    // hand-traced GmapExpected table against the actual parseGmap lattice
+    val df = SparkEntry.GmapPayloads.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("i", "content")
+    val out = Poi.parseGmap(df, SparkEntry.GmapMappings).orderBy("i").collect()
+    out.zip(SparkEntry.GmapExpected).foreach { case (r, (name, rank, cat, maj)) =>
+      assert(r.getAs[String]("name") === name, s"variant ${r.getAs[Int]("i")} name")
+      assert(r.getAs[Int]("rank_order") === rank, s"variant ${r.getAs[Int]("i")} rank")
+      assert(r.getAs[String]("categories") === cat, s"variant ${r.getAs[Int]("i")} categories")
+      assert(r.getAs[String]("major_categories") === maj, s"variant ${r.getAs[Int]("i")} major")
+    }
+  }
+
   test("yelp: dining_out dominates mixed categories (gps.py:244-247)") {
     val content =
       """{"businesses": [{"name": "Cafe X", "categories":

@@ -79,4 +79,18 @@ class SpatialSpec extends SparkSpec {
     val r = Spatial.nearestNeighbor(pts, dim, "n_key", Seq("event_id")).select("n_key").head
     assert(r.getInt(0) === 10) // exact tie between 10 and 11 → smaller key
   }
+
+  test("nearestNeighbor plan is a hash aggregation — no window, no sort") {
+    // the argmin must be min(struct) with map-side partial combine, not a
+    // row_number window over the scored join (which shuffles AND sorts the
+    // full N×dim rows)
+    val pts = (1L to 50L).map(i => (i, 40.0 + i * 1e-4, -75.0)).toDF("event_id", "lat", "lon")
+    val dim = (1 to 5).map(i => (i, 40.0 + i * 1e-3, -75.0)).toDF("n_key", "d_lat", "d_lon")
+    val plan = Spatial.nearestNeighbor(pts, dim, "n_key", Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Sort"), s"sort in plan:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      s"no hash agg in plan:\n$plan")
+  }
 }

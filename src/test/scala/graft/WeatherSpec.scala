@@ -36,6 +36,15 @@ class WeatherSpec extends SparkSpec {
     assert(r.getDouble(1) === 20.0 && r.getDouble(2) === 40.0)
   }
 
+  test("quantileNearest: all-null group yields null, not a crash") {
+    // a day where the metric is entirely missing: np.nanpercentile → NaN;
+    // here → null (and no INVALID_INDEX_OF_ZERO from the empty list)
+    val df = Seq((1, Option.empty[Double]), (1, Option.empty[Double])).toDF("k", "v")
+      .groupBy("k")
+      .agg(Weather.quantileNearest(collect_list(col("v")), 0.75).as("q75"))
+    assert(df.head.isNullAt(1))
+  }
+
   test("dailySummary: stats per key, precip sum, null skipping") {
     val d = Date.valueOf("2019-06-01")
     val hourly = Seq(
