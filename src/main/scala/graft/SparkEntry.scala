@@ -312,6 +312,38 @@ object SparkEntry {
         .select("event_id", "name", "rank_order", "categories", "major_categories")
     }),
 
+    // ---- notebook enrichment joins (J10) ---------------------------------
+    "dim_zips" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val zbp = n.select((col("n_nationkey") + 10000).cast("long").as("zipcode"),
+        concat(lit("city_"), col("n_nationkey")).as("city"),
+        concat(lit("county_"), col("n_nationkey") % 7).as("county"),
+        concat(lit("S"), col("n_nationkey") % 4).as("stabbr"))
+      val gaz = n.where(col("n_nationkey") % 5 =!= 4).select(
+        (col("n_nationkey") + 10000).cast("long").as("zipcode"),
+        (lit(40.0) + (col("n_nationkey") % 5).cast("double") * 1e-2 + 2e-3).as("lat"),
+        (lit(-75.0) + (col("n_nationkey") % 3).cast("double") * 1e-2 + 2e-3).as("lon"))
+      val states = Tables.region(s, d).select(
+        concat(lit("S"), col("r_regionkey")).as("Code"),
+        concat(lit("State "), col("r_regionkey")).as("State"))
+      val tz = n.where(col("n_nationkey") % 2 === 0).select(
+        (col("n_nationkey") + 10000).cast("long").as("zipcode"),
+        concat(lit("America/Zone_"), col("n_nationkey") % 4).as("timezone"))
+      operators.Enrich.zipGazetteer(zbp, gaz, states, tz)
+    }),
+    "dim_counties" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val counties = n.select(col("n_nationkey").as("county_fips"),
+        (col("n_nationkey") % 5).as("state_fips"),
+        concat(lit("County "), col("n_nationkey")).as("county_name"))
+      val rankings = n.where(col("n_nationkey") % 2 === 0).select(
+        concat(lpad((col("n_nationkey") % 5).cast("string"), 2, "0"),
+          lpad(col("n_nationkey").cast("string"), 3, "0")).as("fips"),
+        (col("n_nationkey") % 10 + 1).cast("long").as("health_outcomes_rank"))
+      operators.Enrich.countyRankings(counties, rankings)
+        .select("fips", "county_fips", "state_fips", "county_name", "health_outcomes_rank")
+    }),
+
     // ---- POI gmap lattice (H6/H7/H8, gscap/gps.py:338-448) --------------
     "poi_gmap" -> ((s, d) => {
       val m = (col("event_id") % 14).cast("int")
@@ -379,8 +411,12 @@ object SparkEntry {
     }),
     "emb_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // codebook = spherical k-means trained on a deterministic corpus
+      // sample (replaces the earlier LCG stand-in); assignment + probe-join
+      // + rerank stay fully distributed
+      val cb = Similarity.trainCentroids(e, dim = 64, nCells = 16)
       Similarity.ivfTopK(e, e.where(col("vec_id") % 100 === 0),
-        dim = 64, nCells = 16, nProbe = 6, k = 5)
+        dim = 64, nCells = 16, nProbe = 6, k = 5, codebook = Some(cb))
         .select("query_id", "vec_id", "rank")
     }),
     "emb_lsh" -> ((s, d) => {
@@ -767,6 +803,55 @@ object SparkEntry {
            |  CAST("date" AS TIMESTAMP) + INTERVAL 12 HOUR AS noon_ts
            |FROM allr""".stripMargin
       },
+
+      "dim_zips" ->
+        """WITH zbp AS (
+          |  SELECT CAST(n_nationkey + 10000 AS BIGINT) AS zipcode,
+          |    'city_' || CAST(n_nationkey AS VARCHAR) AS city,
+          |    'county_' || CAST(n_nationkey % 7 AS VARCHAR) AS county,
+          |    'S' || CAST(n_nationkey % 4 AS VARCHAR) AS stabbr
+          |  FROM nation
+          |),
+          |gaz AS (
+          |  SELECT CAST(n_nationkey + 10000 AS BIGINT) AS zipcode,
+          |    round(4e1 + CAST(n_nationkey % 5 AS DOUBLE) * 1e-2 + 2e-3, 5) AS lat,
+          |    round(-75e0 + CAST(n_nationkey % 3 AS DOUBLE) * 1e-2 + 2e-3, 5) AS lon
+          |  FROM nation WHERE n_nationkey % 5 <> 4
+          |),
+          |st AS (
+          |  SELECT 'S' || CAST(r_regionkey AS VARCHAR) AS code,
+          |    'State ' || CAST(r_regionkey AS VARCHAR) AS state
+          |  FROM region
+          |),
+          |tzt AS (
+          |  SELECT CAST(n_nationkey + 10000 AS BIGINT) AS zipcode,
+          |    'America/Zone_' || CAST(n_nationkey % 4 AS VARCHAR) AS timezone
+          |  FROM nation WHERE n_nationkey % 2 = 0
+          |)
+          |SELECT z.zipcode, z.city, z.county, s.state, z.stabbr, g.lat, g.lon, t.timezone
+          |FROM zbp z
+          |JOIN gaz g ON z.zipcode = g.zipcode
+          |JOIN st s ON z.stabbr = s.code
+          |JOIN tzt t ON z.zipcode = t.zipcode""".stripMargin,
+      "dim_counties" ->
+        """WITH c AS (
+          |  SELECT n_nationkey AS county_fips, n_nationkey % 5 AS state_fips,
+          |    'County ' || CAST(n_nationkey AS VARCHAR) AS county_name
+          |  FROM nation
+          |),
+          |c2 AS (
+          |  SELECT *, lpad(CAST(state_fips AS VARCHAR), 2, '0')
+          |      || lpad(CAST(county_fips AS VARCHAR), 3, '0') AS fips
+          |  FROM c
+          |),
+          |r AS (
+          |  SELECT lpad(CAST(n_nationkey % 5 AS VARCHAR), 2, '0')
+          |      || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS fips,
+          |    CAST(n_nationkey % 10 + 1 AS BIGINT) AS health_outcomes_rank
+          |  FROM nation WHERE n_nationkey % 2 = 0
+          |)
+          |SELECT c2.fips, c2.county_fips, c2.state_fips, c2.county_name, r.health_outcomes_rank
+          |FROM c2 LEFT JOIN r ON c2.fips = r.fips""".stripMargin,
 
       "poi_gmap" -> {
         def caseOf(f: ((String, Int, String, String)) => String): String =

@@ -26,8 +26,12 @@ object Similarity {
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. Queries are broadcast (small); corpus stays
-    * partitioned — per-partition partial top-k would be the next step at
-    * scale (TakeOrderedAndProject already bounds the shuffle here).
+    * partitioned. The `rank <= k` filter over row_number triggers Spark's
+    * InferWindowGroupLimit rule, which plans a PARTIAL WindowGroupLimit
+    * below the exchange — each map partition forwards at most k rows per
+    * query, so the shuffle is bounded at k·partitions·|queries| regardless
+    * of corpus size (asserted by a plan test). Same shape in ivfTopK /
+    * lshTopK below.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus
@@ -77,6 +81,56 @@ object Similarity {
     }
   }
 
+  /** Train an IVF codebook by spherical k-means (Lloyd) over a DETERMINISTIC
+    * sample of the corpus — every stride-th vec_id, no RNG, resume-safe.
+    * Classic IVF shape: the codebook is a tiny dim trained driver-side from
+    * a bounded sample (collect is capped at ~maxSample vectors); cell
+    * ASSIGNMENT stays fully distributed via [[ivfCell]]. Assignment metric
+    * is cosine (matching ivfCell's argmax); update = coordinate mean;
+    * an emptied cell keeps its previous centroid. Init = first nCells
+    * sample vectors (padded from the LCG stand-in when the sample is
+    * smaller than the codebook).
+    */
+  def trainCentroids(corpus: DataFrame, dim: Int, nCells: Int,
+                     maxSample: Int = 10000, iters: Int = 8): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val stride = math.max(1L, n / math.max(1, maxSample))
+    val sample: Array[Array[Double]] = corpus
+      .where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("embedding"))
+      .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+    }
+
+    val pad = ivfCentroids(dim, nCells).map(_._2.toArray)
+    var cents: Array[Array[Double]] =
+      (sample.take(nCells) ++ pad.drop(math.min(sample.length, nCells))).take(nCells).toArray
+    var it = 0
+    while (it < iters && sample.nonEmpty) {
+      val sums   = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < nCells) { val s = cos(v, cents(c)); if (s > bestS) { bestS = s; best = c }; c += 1 }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+  }
+
   /** Cell id = argmax cosine against the centroid codebook (expression over
     * literal arrays; deterministic).
     */
@@ -86,8 +140,8 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, nCells: Int,
-              nProbe: Int, k: Int): DataFrame = {
-    val cents = ivfCentroids(dim, nCells)
+              nProbe: Int, k: Int, codebook: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val cents = codebook.getOrElse(ivfCentroids(dim, nCells))
     val corpusCells = corpus.withColumn("ivf_cell", ivfCell(col("embedding"), cents))
     // query probes: top nProbe cells by centroid cosine
     val probeArr = {

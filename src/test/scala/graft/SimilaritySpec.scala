@@ -41,6 +41,32 @@ class SimilaritySpec extends SparkSpec {
     val full = Similarity.ivfTopK(e, q, dim = 64, nCells = 8, nProbe = 8, k = 5)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === brute)
+    // trained spherical-k-means codebook: at least as good as the LCG
+    // stand-in at the same probe budget, and full-probe still exact
+    val cb = Similarity.trainCentroids(e, dim = 64, nCells = 8)
+    val trained = Similarity.ivfTopK(e, q, dim = 64, nCells = 8, nProbe = 4, k = 5, Some(cb))
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trainedRecall = (brute & trained).size.toDouble / brute.size
+    info(s"recall@5 nProbe=4/8: lcg=$recall trained=$trainedRecall")
+    assert(trainedRecall >= recall - 0.1, s"trained=$trainedRecall lcg=$recall")
+    val trainedFull = Similarity.ivfTopK(e, q, dim = 64, nCells = 8, nProbe = 8, k = 5, Some(cb))
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trainedFull === brute)
+  }
+
+  test("top-k shuffle is bounded: Partial WindowGroupLimit below the exchange") {
+    // Spark's InferWindowGroupLimit must kick in for the rank<=k filter so
+    // each map partition forwards at most k rows per query — the scored
+    // corpus never shuffles at full width
+    val corpus = (1L to 500L).map(i => (i, Array.fill(8)(i * 0.1f))).toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") % 100 === 0)
+    val plan = Similarity.bruteForceTopK(corpus, q, 5).queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val partialIdx  = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val exchangeIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning"))
+    assert(partialIdx >= 0, s"no partial WindowGroupLimit:\n$plan")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial group-limit not below the exchange:\n$plan")
   }
 
   test("LSH buckets identical vectors together") {
