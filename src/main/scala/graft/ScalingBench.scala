@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Grid
 import graft.ingest.Pages
+import graft.operators.Spatial
 import graft.sources.Tables
 
 /** Two-parallelism scaling evidence (north rule: throughput scaling
@@ -84,14 +85,84 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  // ---------------------------------------------------------------------
+  // Skew demo (SURVEY §7.3-5): a Zipf-skewed shuffle join where AQE's skew
+  // split CANNOT help — the join output's hashpartitioning(cell) is reused
+  // by the downstream same-key aggregation, so OptimizeSkewedJoin must not
+  // split the hot partition (it would break the agg's required
+  // distribution). The head cell funnels ~70% of all rows through ONE
+  // reducer. Spatial.saltedJoin spreads the join across (cell, salt); the
+  // aggregation then recovers per-cell totals via map-side partials.
+  // Broadcast is disabled to model a dim above the broadcast threshold
+  // (at 100 TB the dim side often is).
+  // ---------------------------------------------------------------------
+
+  def skewSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores * 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One run of the skewed join+agg; returns (sec, checksum). */
+  def skewJob(spark: SparkSession, rows: Long, cells: Int, salts: Int,
+              salted: Boolean): (Double, Double) = {
+    val fact = spark.range(rows).toDF("id")
+      // Zipf-ish head: ~70% of rows in cell 0, the rest spread uniformly
+      .withColumn("cell",
+        when(pmod(xxhash64(col("id")), lit(10L)) < 7, 0L)
+          .otherwise(pmod(xxhash64(col("id") * 31 + 7), lit(cells.toLong))))
+      .withColumn("v", sin(col("id").cast("double")))
+    val dim = spark.range(cells.toLong).toDF("cell")
+      .withColumn("w", col("cell").cast("double") + 1.0)
+    val joined =
+      if (salted) Spatial.saltedJoin(fact, dim, Seq("cell"), "id", salts)
+      else fact.join(dim, Seq("cell"))
+    val agg = joined.groupBy("cell")
+      .agg(sum(col("v") * col("w")).as("s"), count(lit(1)).as("n"))
+    val t0 = System.nanoTime()
+    val checksum = agg.agg(sum(col("n")).cast("double") + sum(abs(col("s")))).head.getDouble(0)
+    ((System.nanoTime() - t0) / 1e9, checksum)
+  }
+
+  def skewMain(args: Array[String]): Unit = {
+    val cores = if (args.length > 1) args(1).toInt else 8
+    val rows  = if (args.length > 2) args(2).toLong else 30000000L
+    val cells = 64; val salts = cores * 2
+    val spark = skewSession(cores)
+    try {
+      skewJob(spark, rows / 4, cells, salts, salted = true)  // warm-up
+      skewJob(spark, rows / 4, cells, salts, salted = false)
+      // interleave + median, like the scaling runs
+      val samples = (1 to 3).map { _ =>
+        (skewJob(spark, rows, cells, salts, salted = false),
+          skewJob(spark, rows, cells, salts, salted = true))
+      }
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+      val (tUnsalted, tSalted) = (med(samples.map(_._1._1)), med(samples.map(_._2._1)))
+      val (c1, c2) = (samples.head._1._2, samples.head._2._2)
+      require(math.abs(c1 - c2) <= 1e-6 * math.abs(c1), s"salted result diverges: $c1 vs $c2")
+      println(f"""{"metric":"skew_join","cores":$cores,"rows":$rows,"cells":$cells,"salts":$salts,""" +
+        f""""sec_unsalted":$tUnsalted%.2f,"sec_salted":$tSalted%.2f,""" +
+        f""""speedup":${tUnsalted / tSalted}%.2f}""")
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "skew") return skewMain(args)
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val repl  = if (args.length > 1) args(1).toInt else 20
     val small = if (args.length > 2) args(2).toInt else 2
     val big   = if (args.length > 3) args(3).toInt else 8
     // the sandbox host is noisy (variable steal time), so interleave the two
     // parallelism levels and take medians — noise then hits both equally
-    val rounds = 3
+    val rounds = if (args.length > 4) args(4).toInt else 3
     val samples = (1 to rounds).map { _ =>
       (timeAt(small, sfDir, repl), timeAt(big, sfDir, repl))
     }

@@ -293,6 +293,29 @@ object SparkEntry {
           ingest.Pages.pagesFromGps(Tables.gps(s, d))))
         .groupBy("media_type", "size_class")
         .agg(count(lit(1)).as("n_media"), sum("n_bytes").as("total_bytes"))),
+    "media_meta" -> ((s, d) => {
+      // REAL container-header decode: synthesize actual PNG/WAV headers
+      // from event_id arithmetic, parse them back with the byte-expression
+      // decoder, and let the oracle recompute the expected fields from the
+      // same arithmetic — end-to-end verification of the binary parsing
+      val M = operators.Multimodal
+      val w  = (col("event_id") % 1856 + 64).cast("int")
+      val h  = (col("event_id") % 1016 + 64).cast("int")
+      val sr = when(col("event_id") % 9 === 0, 8000)
+        .when(col("event_id") % 9 === 3, 22050).otherwise(44100).cast("int")
+      val ch = when(col("event_id") % 6 === 0, 1).otherwise(2).cast("int")
+      val body = encode(col("event_id").cast("string"), "UTF-8")
+      val payload = when(col("event_id") % 3 =!= 0, M.pngPayload(w, h, body))
+        .otherwise(M.wavPayload(sr, ch, body))
+      Tables.events(s, d)
+        .select(col("event_id"), M.decodeMeta(payload).as("m"))
+        .select(col("event_id"), col("m.sniffed_type").as("sniffed_type"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.bit_depth").as("bit_depth"), col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.n_bytes").as("n_bytes"))
+    }),
     "gps_sleep" -> ((s, d) =>
       DailyFeatures.sleepEstimate(
         Tables.gps(s, d).withColumn("date", col("ts").cast("date")))
@@ -895,17 +918,32 @@ object SparkEntry {
            |       CAST(length(text) AS BIGINT) AS n_chars
            |FROM ptext""".stripMargin,
       "pages_geocode" -> {
-        val rl = "CAST(TRY_CAST(regexp_extract(text, 'loc:(-?\\d+),(-?\\d+)', 1) AS BIGINT) AS DOUBLE) / 1e6"
-        val rn = "CAST(TRY_CAST(regexp_extract(text, 'loc:(-?\\d+),(-?\\d+)', 2) AS BIGINT) AS DOUBLE) / 1e6"
+        val rl = "CAST(CAST(regexp_extract(text, 'loc:(-?\\d+),(-?\\d+)', 1) AS BIGINT) AS DOUBLE) / 1e6"
+        val rn = "CAST(CAST(regexp_extract(text, 'loc:(-?\\d+),(-?\\d+)', 2) AS BIGINT) AS DOUBLE) / 1e6"
         s"""WITH $gpsCte, ${OracleSql.pagesCtes},
            |geo AS (
            |  SELECT url, $rl AS lat, $rn AS lon FROM ptext
-           |  WHERE TRY_CAST(regexp_extract(text, 'loc:(-?\\d+),(-?\\d+)', 1) AS BIGINT) IS NOT NULL
+           |  WHERE regexp_matches(text, 'loc:-?\\d+,-?\\d+')
            |)
            |SELECT ${Grid.cellSql("lat", "lon", 12)} AS cell,
            |       count(*) AS n_pages, count(DISTINCT url) AS n_urls
            |FROM geo GROUP BY 1""".stripMargin
       },
+      "media_meta" ->
+        """SELECT event_id,
+          |  CASE WHEN event_id % 3 <> 0 THEN 'image/png' ELSE 'audio/wav' END AS sniffed_type,
+          |  CASE WHEN event_id % 3 <> 0 THEN CAST(event_id % 1856 + 64 AS INTEGER) END AS width,
+          |  CASE WHEN event_id % 3 <> 0 THEN CAST(event_id % 1016 + 64 AS INTEGER) END AS height,
+          |  CASE WHEN event_id % 3 <> 0 THEN 8 END AS bit_depth,
+          |  CASE WHEN event_id % 3 = 0 THEN (CASE WHEN event_id % 6 = 0 THEN 1 ELSE 2 END) END AS channels,
+          |  CASE WHEN event_id % 3 = 0 THEN
+          |    (CASE WHEN event_id % 9 = 0 THEN 8000 WHEN event_id % 9 = 3 THEN 22050 ELSE 44100 END)
+          |  END AS sample_rate,
+          |  CASE WHEN event_id % 3 = 0 THEN 16 END AS bits_per_sample,
+          |  CAST((CASE WHEN event_id % 3 <> 0 THEN 33 ELSE 36 END)
+          |    + length(CAST(event_id AS VARCHAR)) AS BIGINT) AS n_bytes
+          |FROM events""".stripMargin,
+
       "gps_sleep" -> {
         val distPrev = hav("fpos_lat", "fpos_lon", "plast_lat", "plast_lon")
         s"""WITH $gpsCte,

@@ -22,6 +22,32 @@ class MultimodalSpec extends SparkSpec {
     types.foreach(t => assert(Seq("image/png", "image/jpeg", "audio/wav", "video/mp4").contains(t)))
   }
 
+  test("real container-header decode: PNG IHDR and RIFF/WAVE fmt round-trip") {
+    val df = Seq((1L, "png"), (2L, "wav"), (3L, "raw")).toDF("id", "kind")
+    val body = encode(lit("payload-bytes"), "UTF-8")
+    val payload = when(col("kind") === "png",
+        Multimodal.pngPayload(lit(640), lit(480), body))
+      .when(col("kind") === "wav",
+        Multimodal.wavPayload(lit(44100), lit(2), body))
+      .otherwise(body)
+    val m = df.select(col("kind"), Multimodal.decodeMeta(payload).as("m"))
+      .select("kind", "m.*").collect().map(r => r.getAs[String]("kind") -> r).toMap
+    val png = m("png")
+    assert(png.getAs[String]("sniffed_type") === "image/png")
+    assert(png.getAs[Int]("width") === 640 && png.getAs[Int]("height") === 480)
+    assert(png.getAs[Int]("bit_depth") === 8 && png.getAs[Int]("color_type") === 6)
+    assert(png.getAs[Long]("n_bytes") === 33L + "payload-bytes".length)
+    val wav = m("wav")
+    assert(wav.getAs[String]("sniffed_type") === "audio/wav")
+    assert(wav.getAs[Int]("channels") === 2 && wav.getAs[Int]("sample_rate") === 44100)
+    assert(wav.getAs[Int]("bits_per_sample") === 16)
+    assert(wav.getAs[Long]("n_bytes") === 36L + "payload-bytes".length)
+    assert(wav.isNullAt(wav.fieldIndex("width")))
+    val raw = m("raw")
+    assert(raw.getAs[String]("sniffed_type") === "application/octet-stream")
+    assert(raw.isNullAt(raw.fieldIndex("width")) && raw.isNullAt(raw.fieldIndex("channels")))
+  }
+
   test("fake decode recovers header metadata deterministically") {
     val media = Multimodal.mediaFromPages(Pages.pagesFromGps(gps))
     val f = Multimodal.mediaFeatures(media).orderBy("url").collect()

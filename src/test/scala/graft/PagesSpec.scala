@@ -72,6 +72,17 @@ class PagesSpec extends SparkSpec {
     assert(g.getDouble(1) === -75.01)
   }
 
+  test("geocode drops pages without a location mention instead of crashing") {
+    // real pages often have no loc: marker — the rlike prefilter must drop
+    // them before the ANSI cast ever sees a non-digit extract
+    val pages = Seq(
+      ("u1", "Observed near place_1 at loc:40030000,-75010000."),
+      ("u2", "no location in this page at all")
+    ).toDF("url", "text")
+    val g = Pages.geocode(pages).select("url").as[String].collect()
+    assert(g.toSeq === Seq("u1"))
+  }
+
   test("pages schema matches the input hint (url, warc_ts, html, text, lang)") {
     val p = Pages.pagesFromGps(gps)
     assert(p.schema.map(f => (f.name, f.dataType.simpleString)) === Seq(
