@@ -91,12 +91,21 @@ object Poi {
     * (gps.py:366-441) with sets canonicalized to sorted arrays.
     */
   def parseGmap(df: DataFrame, gmapMappings: Map[String, String]): DataFrame = {
+    // Stage the expensive subtrees (from_json, the non-ignored scan, the
+    // branch lattice) as MATERIALIZED intermediate columns: each is
+    // referenced by several downstream expressions, and CollapseProject
+    // only inlines cheap expressions into multiple references — staging
+    // keeps from_json evaluated once per row instead of once per output
+    // column (this was a 6.8 s/100k-row query before staging).
     val cleaned = regexp_replace(col("content"), "</?a[^>]*?>", "")
-    val parsed  = from_json(cleaned, GmapSchema, JsonOpts)
-    val results = parsed.getField("results")
     val ignored = typedlit(IgnoredPlaceTypes)
-    val firstOk = try_element_at(filter(results, r =>
-      size(array_intersect(r.getField("types"), ignored)) === 0), lit(1))
+    val staged = df
+      .withColumn("__parsed", from_json(cleaned, GmapSchema, JsonOpts))
+      .withColumn("__firstOk", try_element_at(filter(col("__parsed").getField("results"), r =>
+        size(array_intersect(r.getField("types"), ignored)) === 0), lit(1)))
+    val parsed  = col("__parsed")
+    val results = parsed.getField("results")
+    val firstOk = col("__firstOk")
     // rank_order = 0-based index of the first non-ignored result among ALL
     // results (the reference's enumerate index, gps.py:358-360)
     val firstOkIdx = try_element_at(filter(
@@ -109,8 +118,11 @@ object Poi {
     // remove ambiguous types (gps.py:369)
     val typesNA = array_except(types0, typedlit(Seq("point_of_interest", "establishment", "premise")))
     val mc0     = array_intersect(typesNA, typedlit(MajorTypes))
-    val mcBase  = when(size(mc0) > 0, mc0).otherwise(array(lit("other")))
-    val typesMinusMajor = array_except(typesNA, typedlit(MajorTypes))
+    val staged2 = staged
+      .withColumn("__mcBase", when(size(mc0) > 0, mc0).otherwise(array(lit("other"))))
+      .withColumn("__tmm", array_except(typesNA, typedlit(MajorTypes)))
+    val mcBase  = col("__mcBase")
+    val typesMinusMajor = col("__tmm")
 
     def g(x: Column)  = lookup(gmapMappings, x)
     def arr(s: String*) = typedlit(s.sorted)
@@ -155,16 +167,21 @@ object Poi {
       default = (typesMinusMajor, mcBase),
       pick = pick)
 
-    val types1 = mkBranches(_._1)
-    val mc1    = mkBranches(_._2)
+    val staged3 = staged2
+      .withColumn("__types1", mkBranches(_._1))
+      .withColumn("__mc1", mkBranches(_._2))
+    val types1 = col("__types1")
+    val mc1    = col("__mc1")
 
     // take the left-most (gps.py:417-424): empty types → mc; one type → mc
     // from mapping; many → first type + its mapping
     val types2 = when(size(types1) === 0, mc1)
       .when(size(types1) === 1, types1)
       .otherwise(slice(array_sort(types1), 1, 1))
-    val mc2 = when(size(types1) === 0, mc1)
-      .when(size(types1) >= 1, array(g(try_element_at(array_sort(types1), lit(1)))))
+    val staged4 = staged3
+      .withColumn("__mc2", when(size(types1) === 0, mc1)
+        .when(size(types1) >= 1, array(g(try_element_at(array_sort(types1), lit(1))))))
+    val mc2 = col("__mc2")
 
     val mc3 = when(size(mc2) > 1, slice(array_sort(mc2), 1, 1)).otherwise(mc2)
     val mc4 = when(mc3 === arr("store"), array(g(lit("store"))))
@@ -172,7 +189,7 @@ object Poi {
       .otherwise(mc3)
     val types3 = when(mc4 === arr("other") && size(types2) === 0, array(lit("other"))).otherwise(types2)
 
-    df
+    staged4
       .withColumn("name",
         when(parsed.getField("_corrupt_record").isNotNull, lit("JSONDecodeError"))
           .when(parsed.getField("error").isNotNull, parsed.getField("error"))
@@ -189,5 +206,6 @@ object Poi {
         when(parsed.getField("_corrupt_record").isNotNull, lit("JSONDecodeError"))
           .when(parsed.getField("error").isNotNull || firstOk.isNull, lit("none"))
           .otherwise(concat_ws(", ", mc4)))
+      .drop("__parsed", "__firstOk", "__mcBase", "__tmm", "__types1", "__mc1", "__mc2")
   }
 }

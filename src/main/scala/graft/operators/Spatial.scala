@@ -115,40 +115,32 @@ object Spatial {
   /** kNN via grid-cell rings (the J5 scale path, SURVEY.md: "H3-index the
     * dim table, probe kRing rings of increasing radius until hit, exact
     * tie-break"): instead of replicating the whole dim per point (brute
-    * force), each point probes its (2k+1)² cell ring at `res` — an EQUI join
-    * on cell id — falling back to the next ring only for points still
-    * unmatched. Exact provided the true nearest neighbor lies within
-    * `maxRings` rings (callers pick `res` so one ring covers the expected
-    * NN distance); argmin + key tie-break identical to [[nearestNeighbor]].
+    * force), each point probes its (2·maxRings+1)² cell ring at `res` — an
+    * EQUI join on cell id — in ONE pass (iterating ring-by-ring re-derives
+    * every earlier ring's plan per stage; one slightly wider probe beats
+    * re-running the join per ring). Exact provided the true nearest
+    * neighbor lies within `maxRings` rings (callers pick `res` so the ring
+    * covers the expected NN distance): a found candidate at
+    * d ≤ maxRings·cellHeight cannot be beaten by anything outside the ring.
+    * Stragglers (sparse regions) fall back to the exact brute-force path.
+    * Argmin + key tie-break identical to [[nearestNeighbor]].
     */
   def nearestNeighborCellRing(points: DataFrame, dim: DataFrame, dimKey: String,
                               pointKey: String, res: Int, maxRings: Int = 3): DataFrame = {
-    val dimCells = dim.withColumn("cell", Grid.cell(col("d_lat"), col("d_lon"), res))
-    val ptCells  = points.withColumn("cell", Grid.cell(col("lat"), col("lon"), res))
-    // euclid-deg radius guaranteed covered by ring k: k cells in the SMALLER
-    // (lat) dimension — a candidate at d ≤ k·cellHeight cannot be beaten by
-    // anything outside ring k
+    val dimCells = dim.withColumn("probe_cell", Grid.cell(col("d_lat"), col("d_lon"), res))
     val cellHeight = 180.0 / (1L << res).toDouble
     val d2 = Geo.euclidDeg2(col("lat"), col("lon"), col("d_lat"), col("d_lon"))
 
-    var remaining = ptCells
-    var out: DataFrame = null
-    var k = 1
-    while (k <= maxRings) {
-      val probes = remaining.withColumn("probe_cell", explode(Grid.kRing(col("cell"), res, k)))
-      val cand = probes.join(
-        broadcast(dimCells.withColumnRenamed("cell", "probe_cell")), Seq("probe_cell"))
-        .withColumn("d2", d2)
-      val hit = argminJoin(cand, Seq(pointKey), dimKey, exclude = Seq("probe_cell"))
-        .where(sqrt(col("d2")) <= k * cellHeight) // coverage guarantee
-      out = if (out == null) hit else out.unionByName(hit)
-      remaining = remaining.join(hit.select(pointKey), Seq(pointKey), "left_anti")
-      k += 1
-    }
-    // stragglers (sparse regions): exact brute-force fallback
-    val rest = nearestNeighbor(remaining.drop("cell"), dim, dimKey, Seq(pointKey))
+    val probes = points
       .withColumn("cell", Grid.cell(col("lat"), col("lon"), res))
-    out.unionByName(rest, allowMissingColumns = true)
+      .withColumn("probe_cell", explode(Grid.kRing(col("cell"), res, maxRings)))
+    val cand = probes.join(broadcast(dimCells), Seq("probe_cell")).withColumn("d2", d2)
+    val hit = argminJoin(cand, Seq(pointKey), dimKey, exclude = Seq("probe_cell"))
+      .where(sqrt(col("d2")) <= maxRings * cellHeight) // coverage guarantee
+    val remaining = points.join(hit.select(pointKey), Seq(pointKey), "left_anti")
+    val rest = nearestNeighbor(remaining, dim, dimKey, Seq(pointKey))
+      .withColumn("cell", Grid.cell(col("lat"), col("lon"), res))
+    hit.unionByName(rest, allowMissingColumns = true)
   }
 
   /** Distance-fence relabel (J4, gscap/gps.py:1124-1130): points within
