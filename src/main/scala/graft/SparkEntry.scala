@@ -444,7 +444,8 @@ object SparkEntry {
     }),
     "emb_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.lshTopK(e, e.where(col("vec_id") % 100 === 0), dim = 64, bits = 8, k = 5)
+      Similarity.lshTopK(e, e.where(col("vec_id") % 100 === 0), dim = 64, bits = 4, k = 5,
+        tables = 8)
         .select("query_id", "vec_id", "rank")
     })
   )

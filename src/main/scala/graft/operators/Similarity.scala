@@ -46,13 +46,14 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: bit b = sign(dot(v, h_b)) where h_b is a
-    * deterministic pseudo-random unit direction derived from (b, dim index)
-    * via a fixed LCG — no wall-clock, no Math.random (resume-safe).
+    * deterministic pseudo-random unit direction derived from (b, dim index,
+    * table seed) via a fixed LCG — no wall-clock, no Math.random
+    * (resume-safe).
     */
-  def hyperplaneSignature(emb: Column, dim: Int, bits: Int): Column = {
+  def hyperplaneSignature(emb: Column, dim: Int, bits: Int, tableSeed: Long = 0L): Column = {
     def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
     val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
-      var s = lcg(b.toLong + 12345L)
+      var s = lcg(b.toLong + 12345L + tableSeed * 7919L)
       (0 until dim).map { _ =>
         s = lcg(s)
         // map to (-1, 1)
@@ -160,17 +161,25 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cosine")
   }
 
-  /** LSH-bucketed ANN: candidates share a signature bucket (equi join on the
-    * bucket id — the scale path replacing the brute-force cross join), then
-    * exact cosine rerank within buckets.
+  /** LSH-bucketed ANN with OR-amplification: `tables` independent
+    * hyperplane tables of `bits` bits each; a candidate collides in ANY
+    * table (recall grows with tables, candidate count stays bucket-bounded).
+    * Every probe is an equi join on (table, bucket) — the scale path
+    * replacing the brute-force cross join — followed by pair dedup and an
+    * exact cosine rerank.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, bits: Int, k: Int): DataFrame = {
-    val sigC = corpus.withColumn("bucket", hyperplaneSignature(col("embedding"), dim, bits))
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, bits: Int, k: Int,
+              tables: Int = 1): DataFrame = {
+    def bucketsOf(emb: Column): Column =
+      array((0 until tables).map(t =>
+        struct(lit(t).as("t"), hyperplaneSignature(emb, dim, bits, t.toLong).as("b"))): _*)
+    val sigC = corpus.withColumn("tb", explode(bucketsOf(col("embedding"))))
     val sigQ = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("bucket", hyperplaneSignature(col("q_emb"), dim, bits))
-    sigC.join(broadcast(sigQ), Seq("bucket"))
+      .withColumn("tb", explode(bucketsOf(col("q_emb"))))
+    sigC.join(broadcast(sigQ), Seq("tb"))
       .where(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id") // a pair may collide in several tables
       .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))

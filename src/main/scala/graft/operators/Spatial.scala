@@ -127,14 +127,21 @@ object Spatial {
     */
   def nearestNeighborCellRing(points: DataFrame, dim: DataFrame, dimKey: String,
                               pointKey: String, res: Int, maxRings: Int = 3): DataFrame = {
-    val dimCells = dim.withColumn("probe_cell", Grid.cell(col("d_lat"), col("d_lon"), res))
+    // the kRing EXPLODE goes on the broadcast-small dim side: each dim row
+    // registers itself in every cell of its own ring, and each point joins
+    // on its single cell — point p sees dim d iff their cells are ≤ maxRings
+    // apart, identical to probing p's ring, but the (2k+1)² fanout hits the
+    // tiny dim instead of the 10^12-row probe side
+    val dimCells = dim.withColumn("probe_cell",
+      explode(Grid.kRing(Grid.cell(col("d_lat"), col("d_lon"), res), res, maxRings)))
     val cellHeight = 180.0 / (1L << res).toDouble
     val d2 = Geo.euclidDeg2(col("lat"), col("lon"), col("d_lat"), col("d_lon"))
 
-    val probes = points
+    val cand = points
       .withColumn("cell", Grid.cell(col("lat"), col("lon"), res))
-      .withColumn("probe_cell", explode(Grid.kRing(col("cell"), res, maxRings)))
-    val cand = probes.join(broadcast(dimCells), Seq("probe_cell")).withColumn("d2", d2)
+      .withColumn("probe_cell", col("cell"))
+      .join(broadcast(dimCells), Seq("probe_cell"))
+      .withColumn("d2", d2)
     val hit = argminJoin(cand, Seq(pointKey), dimKey, exclude = Seq("probe_cell"))
       .where(sqrt(col("d2")) <= maxRings * cellHeight) // coverage guarantee
     val remaining = points.join(hit.select(pointKey), Seq(pointKey), "left_anti")

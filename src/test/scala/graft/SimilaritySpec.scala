@@ -69,6 +69,25 @@ class SimilaritySpec extends SparkSpec {
       s"partial group-limit not below the exchange:\n$plan")
   }
 
+  test("multi-table LSH (OR-amplification) raises recall over a single table") {
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random-noise embeddings are the LSH worst case (no cluster structure);
+    // short 4-bit signatures + OR over 8 tables trade candidate volume for
+    // recall — the banding knob, same as MinHash-LSH
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshTopK(e, q, dim = 64, bits = 4, k = 5, tables)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val (r1, r8) = (recall(1), recall(8))
+    info(s"recall@5 (bits=4): tables=1 $r1, tables=8 $r8")
+    assert(r8 >= r1, s"more tables must not lose recall: $r8 < $r1")
+    assert(r8 >= 0.3, s"8-table recall too low: $r8")
+  }
+
   test("LSH buckets identical vectors together") {
     val corpus = Seq((1L, vec(1, 0, 0, 0)), (2L, vec(1, 0, 0, 0)), (3L, vec(-1, 0, 0, 0)))
       .toDF("vec_id", "embedding")
