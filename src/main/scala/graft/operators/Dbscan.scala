@@ -20,6 +20,15 @@ object Dbscan {
 
   /** Returns labels (-1 = noise) aligned with the input order.
     * Fewer than 2 points → all noise (gps.py:1589-1590).
+    *
+    * Exact-duplicate reduction: points sharing a coordinate have identical
+    * neighborhoods, identical (weighted) core status, and — because cluster
+    * seeds scan in first-occurrence order and a border coordinate is always
+    * claimed by the lowest-numbered cluster that reaches it — identical
+    * labels. The algorithm therefore runs over UNIQUE coordinates with
+    * multiplicities (the classic weighted-DBSCAN reduction, exact): GPS
+    * streams are heavily lattice-valued, so this collapses the O(dense-site²)
+    * neighbor lists that dominated per-user cost.
     */
   def run(pts: Array[(Double, Double)], eps: Double = 0.005, minSamples: Int = 100): Array[Int] = {
     val n = pts.length
@@ -27,61 +36,81 @@ object Dbscan {
     if (n < 2) return labels
 
     val eps2 = eps * eps
-    // grid buckets of side eps: all neighbors of p are in the 3×3 ring
-    val buckets = mutable.HashMap.empty[(Long, Long), mutable.ArrayBuffer[Int]]
-    def key(p: (Double, Double)) = (math.floor(p._1 / eps).toLong, math.floor(p._2 / eps).toLong)
+    // collapse exact duplicates; uid order = first-occurrence (= min input
+    // index) order, preserving sklearn's scan-order cluster numbering
+    val uidByCoord = mutable.HashMap.empty[(Double, Double), Int]
+    val uidOf = new Array[Int](n)
+    val rep = mutable.ArrayBuffer.empty[(Double, Double)]
+    val weight = mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i < n) {
-      buckets.getOrElseUpdate(key(pts(i)), mutable.ArrayBuffer.empty) += i
+      val u = uidByCoord.getOrElseUpdate(pts(i), { rep += pts(i); weight += 0; rep.length - 1 })
+      weight(u) += 1
+      uidOf(i) = u
       i += 1
     }
+    val m = rep.length
 
-    def neighbors(i: Int): Array[Int] = {
-      val (ky, kx) = key(pts(i))
+    // grid buckets of side eps over unique coords: all eps-neighbors of a
+    // coord are in its 3×3 cell ring
+    val buckets = mutable.HashMap.empty[(Long, Long), mutable.ArrayBuffer[Int]]
+    def key(p: (Double, Double)) = (math.floor(p._1 / eps).toLong, math.floor(p._2 / eps).toLong)
+    var u = 0
+    while (u < m) {
+      buckets.getOrElseUpdate(key(rep(u)), mutable.ArrayBuffer.empty) += u
+      u += 1
+    }
+
+    def neighborsU(u: Int): Array[Int] = {
+      val (ky, kx) = key(rep(u))
       val out = mutable.ArrayBuffer.empty[Int]
       var dy = -1L
       while (dy <= 1) {
         var dx = -1L
         while (dx <= 1) {
           buckets.get((ky + dy, kx + dx)).foreach { b =>
-            b.foreach { j =>
-              val dlat = pts(i)._1 - pts(j)._1
-              val dlon = pts(i)._2 - pts(j)._2
-              if (dlat * dlat + dlon * dlon <= eps2) out += j
+            b.foreach { v =>
+              val dlat = rep(u)._1 - rep(v)._1
+              val dlon = rep(u)._2 - rep(v)._2
+              if (dlat * dlat + dlon * dlon <= eps2) out += v
             }
           }
           dx += 1
         }
         dy += 1
       }
-      out.sorted.toArray // index order, matching sklearn's brute neighborhoods
+      out.sorted.toArray // first-occurrence order (matches index-order visiting)
     }
 
-    val neigh = Array.tabulate(n)(neighbors)
-    val isCore = neigh.map(_.length >= minSamples)
+    val neigh  = Array.tabulate(m)(neighborsU)
+    val isCore = neigh.map(_.map(weight).sum >= minSamples) // weighted degree incl. self
 
-    // stack-based expansion, one cluster per unlabeled core seed in scan
-    // order; border points keep the first label that claims them
+    // stack-based expansion over unique coords, one cluster per unlabeled
+    // core seed in first-occurrence order; border coords keep the first
+    // (lowest-numbered) cluster that claims them
+    val ulabels = Array.fill(m)(-1)
     var clusterId = 0
-    i = 0
-    while (i < n) {
-      if (labels(i) == -1 && isCore(i)) {
+    u = 0
+    while (u < m) {
+      if (ulabels(u) == -1 && isCore(u)) {
         val stack = mutable.Stack.empty[Int]
-        var cur = i
+        var cur = u
         var expanding = true
         while (expanding) {
-          if (labels(cur) == -1) {
-            labels(cur) = clusterId
+          if (ulabels(cur) == -1) {
+            ulabels(cur) = clusterId
             if (isCore(cur)) {
-              neigh(cur).foreach { q => if (labels(q) == -1) stack.push(q) }
+              neigh(cur).foreach { q => if (ulabels(q) == -1) stack.push(q) }
             }
           }
           if (stack.isEmpty) expanding = false else cur = stack.pop()
         }
         clusterId += 1
       }
-      i += 1
+      u += 1
     }
+    i = 0
+    while (i < n) { labels(i) = ulabels(uidOf(i)); i += 1 }
     labels
   }
 
