@@ -418,6 +418,21 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), bround(col("jaccard"), 4).as("jaccard"))
     }),
 
+    "doc_jaccard_exact" -> ((s, d) => {
+      // jaccard math itself under an exact oracle: candidate rule is
+      // SQL-expressible (shared 40-char prefix hash, the doc_dups grouping)
+      // so DuckDB recomputes shingles + set jaccard independently; values
+      // stay RAW doubles (single int/int division — bit-identical, and a
+      // round() could tie on ratios like 1/640)
+      val docs = Tables.documents(s, d)
+      val pref = docs.select(col("doc_id"),
+        md5(substring(col("text"), 1, 40).cast("binary")).as("ph"))
+      val pairs = pref.as("a").join(pref.as("b"),
+          col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      Docs.jaccard(docs, pairs)
+    }),
+
     // ---- similarity search ----------------------------------------------
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(
@@ -1035,6 +1050,33 @@ object SparkEntry {
            |$scores
            |FROM documents""".stripMargin
       },
+
+      "doc_jaccard_exact" ->
+        """WITH pref AS (
+          |  SELECT doc_id, md5(substr(text, 1, 40)) AS ph FROM documents
+          |),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM pref a JOIN pref b ON a.ph = b.ph AND a.doc_id < b.doc_id
+          |),
+          |toksd AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+          |),
+          |sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(CASE WHEN len(t) >= 3
+          |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
+          |      ELSE [] END) AS s
+          |  FROM toksd
+          |)
+          |SELECT p.doc_a, p.doc_b,
+          |  CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+          |       THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |            / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+          |       ELSE 0e0 END AS jaccard
+          |FROM pairs p
+          |JOIN sh sa ON p.doc_a = sa.doc_id
+          |JOIN sh sb ON p.doc_b = sb.doc_id""".stripMargin,
 
       "emb_norms" ->
         """SELECT vec_id, label,

@@ -47,19 +47,39 @@ object DistributedDbscan {
       .withColumn("cx", floor(col("lon") / eps).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 1. probe the 3×3 cell ring (equi-join keys)
-    val probes = uniq.select(
-      col("uid").as("a_uid"), col("lat").as("a_lat"), col("lon").as("a_lon"),
-      explode(array((for (dy <- -1 to 1; dx <- -1 to 1) yield
-        struct((col("cy") + dy).as("cy"), (col("cx") + dx).as("cx"))): _*)).as("cell"))
-      .select(col("a_uid"), col("a_lat"), col("a_lon"),
-        col("cell.cy").as("cy"), col("cell.cx").as("cx"))
-
+    // 1. eps-neighbor pairs via cell-equi joins, probing only HALF the
+    // ring: same-cell pairs come from a plain self-join on (cy, cx), and
+    // cross-cell pairs from probes at the four lexicographically-greater
+    // offsets {(0,1),(1,-1),(1,0),(1,1)} — each unordered cross-cell pair
+    // is found exactly once and symmetrized by a column swap (a free
+    // projection), so the join processes 5/9 of the naive 3×3 probe volume
+    // with an identical directed pair set.
     val dlat = col("a_lat") - col("lat")
     val dlon = col("a_lon") - col("lon")
-    val pairs = probes.join(uniq.select("cy", "cx", "uid", "lat", "lon", "w"), Seq("cy", "cx"))
+    val aSide = uniq.select(
+      col("uid").as("a_uid"), col("lat").as("a_lat"), col("lon").as("a_lon"),
+      col("w").as("a_w"), col("cy"), col("cx"))
+    val bSide = uniq.select("cy", "cx", "uid", "lat", "lon", "w")
+
+    val sameCell = aSide.join(bSide, Seq("cy", "cx"))
       .where(dlat * dlat + dlon * dlon <= eps2)
-      .select(col("a_uid"), col("uid").as("b_uid"), col("w").as("b_w"))
+      .select(col("a_uid"), col("uid").as("b_uid"), col("a_w"), col("w").as("b_w"))
+    val halfOffsets = Seq((0, 1), (1, -1), (1, 0), (1, 1))
+    val probes = aSide.select(col("a_uid"), col("a_lat"), col("a_lon"), col("a_w"),
+      explode(array(halfOffsets.map { case (dy, dx) =>
+        struct((col("cy") + dy).as("cy"), (col("cx") + dx).as("cx")) }: _*)).as("cell"))
+      .select(col("a_uid"), col("a_lat"), col("a_lon"), col("a_w"),
+        col("cell.cy").as("cy"), col("cell.cx").as("cx"))
+    // both directions of a cross-cell match come out of ONE join via a
+    // 2-row explode (a second reference to the join would recompute it)
+    val cross = probes.join(bSide, Seq("cy", "cx"))
+      .where(dlat * dlat + dlon * dlon <= eps2)
+      .select(explode(array(
+        struct(col("a_uid").as("a_uid"), col("uid").as("b_uid"), col("w").as("b_w")),
+        struct(col("uid").as("a_uid"), col("a_uid").as("b_uid"), col("a_w").as("b_w")))).as("p"))
+      .select(col("p.a_uid").as("a_uid"), col("p.b_uid").as("b_uid"), col("p.b_w").as("b_w"))
+    val pairs = sameCell.select("a_uid", "b_uid", "b_w")
+      .unionByName(cross)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 2. weighted degree → core coords
