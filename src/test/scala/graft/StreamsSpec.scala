@@ -32,6 +32,34 @@ class StreamsSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("n_points") === 2L)
   }
 
+  test("late data beyond the watermark is dropped, inside it is aggregated") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "lat", "lon")
+    val q = Streams.resampleMinutes(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    input.addData((1L, ts("2024-01-01 08:00:10"), 40.0, -75.0))
+    q.processAllAvailable()
+    // advance event time: watermark → 08:50
+    input.addData((1L, ts("2024-01-01 09:00:00"), 41.0, -76.0))
+    q.processAllAvailable()
+    // 08:00 is far behind the 08:50 watermark → must NOT reopen the window;
+    // 08:55 is within it → aggregated
+    input.addData(
+      (1L, ts("2024-01-01 08:00:20"), 99.0, 99.0),
+      (1L, ts("2024-01-01 08:55:00"), 42.0, -77.0))
+    q.processAllAvailable()
+    // close remaining windows
+    input.addData((1L, ts("2024-01-01 10:00:00"), 43.0, -78.0))
+    q.processAllAvailable()
+    val w800 = spark.sql("SELECT * FROM late WHERE ts = '2024-01-01 08:00:00'").collect()
+    val w855 = spark.sql("SELECT * FROM late WHERE ts = '2024-01-01 08:55:00'").collect()
+    q.stop()
+    assert(w800.length === 1 && w800(0).getAs[Long]("n_points") === 1L) // late row dropped
+    assert(w800(0).getAs[Double]("lat") === 40.0)
+    assert(w855.length === 1 && w855(0).getAs[Long]("n_points") === 1L) // in-watermark row kept
+  }
+
   test("streaming sessionization closes visits on cid change") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.StreamPoint]
