@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * codegen'd byte expressions (substring/hex/conv), no UDF, no codec
   * library. This is the metadata-extraction stage of a real pipeline.
   *
-  * STUB NOTICE (narrowed): only PIXEL/SAMPLE decode ([[fakeThumbnail]] and
-  * the legacy [[fakeDecodeMeta]] used by the size-class demo) remains a
-  * stand-in — an actual resize/frame-extract kernel needs codec libraries
-  * absent from this container; swap it in without touching the plumbing.
+  * STUB NOTICE (narrowed): only PIXEL/SAMPLE decode ([[fakeThumbnail]])
+  * remains a stand-in — an actual resize/frame-extract kernel needs codec
+  * libraries absent from this container; swap it in without touching the
+  * plumbing. Everything else in this module parses or emits real bytes.
   */
 object Multimodal {
 
@@ -92,56 +92,51 @@ object Multimodal {
       when(isWav(payload), leUInt(payload, 35, 2).cast("int")).as("bits_per_sample"),
       length(payload).cast("long").as("n_bytes"))
 
-  /** Synthesize a media table from pages: payload = html bytes re-labeled
-    * (deterministic stand-in), media_type from url hash, plus a 16-byte
-    * fake header carrying (width, height) as big-endian ints.
+  /** Synthesize a media table from pages: every page becomes a REAL
+    * container — a PNG whose IHDR carries url-hash-derived dimensions, or a
+    * RIFF/WAVE whose fmt chunk carries url-hash-derived audio params — with
+    * the page's html bytes as the (undecodable, but honestly labeled) body.
+    * [[decodeMeta]] then recovers the metadata by actually parsing the
+    * headers, so the whole media path is real at the container level.
     */
   def mediaFromPages(pages: DataFrame): DataFrame = {
-    val w = (abs(xxhash64(col("url"))) % 1920 + 64).cast("int")
-    val h = (abs(xxhash64(col("url"), lit(1))) % 1080 + 64).cast("int")
+    val w  = (abs(xxhash64(col("url"))) % 1920 + 64).cast("int")
+    val h  = (abs(xxhash64(col("url"), lit(1))) % 1080 + 64).cast("int")
+    val sr = (abs(xxhash64(col("url"), lit(3))) % 40000 + 8000).cast("int")
+    val ch = (abs(xxhash64(col("url"), lit(4))) % 2 + 1).cast("int")
+    val isImg = abs(xxhash64(col("url"), lit(2))) % 2 === 0
     pages.select(
       col("url"),
-      element_at(typedlit(Seq("image/png", "image/jpeg", "audio/wav", "video/mp4")),
-        (abs(xxhash64(col("url"), lit(2))) % 4).cast("int") + 1).as("media_type"),
-      concat(
-        // fake header: magic 'GRFT' + width + height (text ints, fixed sep)
-        encode(concat_ws(":", lit("GRFT"), w.cast("string"), h.cast("string"), lit("|")), "UTF-8"),
-        col("html")).as("payload"))
-  }
-
-  /** STUB decode: parse the fake header into typed metadata. A real decoder
-    * would fill the same struct from actual container headers.
-    */
-  def fakeDecodeMeta(payload: Column): Column = {
-    val head  = decode(substring(payload, 1, 32), "UTF-8")
-    val parts = split(substring_index(head, "|", 1), ":")
-    struct(
-      try_element_at(parts, lit(2)).cast("int").as("width"),
-      try_element_at(parts, lit(3)).cast("int").as("height"),
-      (length(payload)).cast("long").as("n_bytes"))
+      when(isImg, "image/png").otherwise("audio/wav").as("media_type"),
+      when(isImg, pngPayload(w, h, col("html")))
+        .otherwise(wavPayload(sr, ch, col("html"))).as("payload"))
   }
 
   /** STUB thumbnail/frame-sample: deterministic byte slice standing in for
-    * a resize/frame-extract kernel; preserves the batch shape contract
-    * (binary in → smaller binary out).
+    * a resize/frame-extract kernel (needs codec libs absent here);
+    * preserves the batch shape contract (binary in → smaller binary out).
     */
   def fakeThumbnail(payload: Column, maxBytes: Int = 256): Column =
     substring(payload, 1, maxBytes)
 
-  /** The pipeline shape: decode metadata → filter by shape/type → bucket by
+  /** The pipeline shape: real header decode → typed metadata → bucket by
     * size class for downstream batch-friendly partitioning.
     */
   def mediaFeatures(media: DataFrame): DataFrame =
     media
-      .withColumn("meta", fakeDecodeMeta(col("payload")))
+      .withColumn("meta", decodeMeta(col("payload")))
       .withColumn("thumb", fakeThumbnail(col("payload")))
       .select(
         col("url"), col("media_type"),
+        col("meta.sniffed_type").as("sniffed_type"),
         col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"), col("meta.sample_rate").as("sample_rate"),
         col("meta.n_bytes").as("n_bytes"),
         (col("meta.width") * col("meta.height")).as("pixels"),
         length(col("thumb")).cast("long").as("thumb_bytes"),
         when(col("meta.width") >= 1024, "large")
           .when(col("meta.width") >= 256, "medium")
-          .otherwise("small").as("size_class"))
+          .when(col("meta.width").isNotNull, "small")
+          .when(col("meta.sample_rate") >= 30000, "hifi")
+          .otherwise("lofi").as("size_class"))
 }

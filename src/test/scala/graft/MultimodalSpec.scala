@@ -19,7 +19,7 @@ class MultimodalSpec extends SparkSpec {
     assert(media.schema.map(f => (f.name, f.dataType.simpleString)) === Seq(
       ("url", "string"), ("media_type", "string"), ("payload", "binary")))
     val types = media.select("media_type").as[String].collect()
-    types.foreach(t => assert(Seq("image/png", "image/jpeg", "audio/wav", "video/mp4").contains(t)))
+    types.foreach(t => assert(Seq("image/png", "audio/wav").contains(t)))
   }
 
   test("real container-header decode: PNG IHDR and RIFF/WAVE fmt round-trip") {
@@ -48,16 +48,25 @@ class MultimodalSpec extends SparkSpec {
     assert(raw.isNullAt(raw.fieldIndex("width")) && raw.isNullAt(raw.fieldIndex("channels")))
   }
 
-  test("fake decode recovers header metadata deterministically") {
+  test("media pipeline: synthesized containers decode back via real header parse") {
     val media = Multimodal.mediaFromPages(Pages.pagesFromGps(gps))
     val f = Multimodal.mediaFeatures(media).orderBy("url").collect()
     assert(f.length === 2)
     f.foreach { r =>
-      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
-      assert(w >= 64 && w < 1984 && h >= 64 && h < 1144)
-      assert(r.getAs[Long]("pixels") === w.toLong * h)
+      // sniffed type from actual magic bytes must agree with the label
+      assert(r.getAs[String]("sniffed_type") === r.getAs[String]("media_type"))
+      if (r.getAs[String]("media_type") == "image/png") {
+        val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+        assert(w >= 64 && w < 1984 && h >= 64 && h < 1144)
+        assert(r.getAs[Long]("pixels") === w.toLong * h)
+        assert(Seq("large", "medium", "small").contains(r.getAs[String]("size_class")))
+      } else {
+        val sr = r.getAs[Int]("sample_rate")
+        assert(sr >= 8000 && sr < 48000)
+        assert(Seq(1, 2).contains(r.getAs[Int]("channels")))
+        assert(Seq("hifi", "lofi").contains(r.getAs[String]("size_class")))
+      }
       assert(r.getAs[Long]("thumb_bytes") <= 256L)
-      assert(Seq("large", "medium", "small").contains(r.getAs[String]("size_class")))
     }
     // determinism: same urls → same metadata on re-evaluation
     val again = Multimodal.mediaFeatures(media).orderBy("url").collect()
