@@ -73,15 +73,27 @@ object Docs {
   /** LSH near-dup candidate pairs: split the signature into `bands` bands,
     * hash each band, group by (band_idx, band_hash) → candidate pairs with
     * ≥1 identical band. Output: (doc_a, doc_b) with doc_a < doc_b.
+    *
+    * Degenerate-bucket guard: a boilerplate-dominated shard can put a huge
+    * share of all docs into ONE (band, hash) bucket, turning the self-join
+    * quadratic (the hot key AQE's skew split cannot fix — the blowup is
+    * row-count, not partition size). Buckets above `maxBucket` docs are
+    * dropped from pairing: run [[dedupExact]] FIRST (identical docs are the
+    * main source of mega-buckets), and treat a capped bucket as its own
+    * near-dup cluster rather than enumerating its O(n²) pairs.
     */
-  def minHashCandidates(signatures: DataFrame, bands: Int = 4): DataFrame = {
+  def minHashCandidates(signatures: DataFrame, bands: Int = 4,
+                        maxBucket: Int = 10000): DataFrame = {
     val rows = signatures.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b => {
         val bandSize = floor(size(col("signature")) / bands).cast("int")
         xxhash64(slice(col("signature"), b * bandSize + 1, bandSize))
       })).as(Seq("band_idx", "band_hash")))
-    rows.as("a").join(rows.as("b"),
+    val sizes = rows.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
+    val ok = rows.join(sizes.where(col("bucket_n") <= maxBucket), Seq("band_idx", "band_hash"))
+      .select("doc_id", "band_idx", "band_hash")
+    ok.as("a").join(ok.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -47,6 +47,15 @@ class DocsSpec extends SparkSpec {
     assert(cand.contains((1L, 4L)))
   }
 
+  test("minhash LSH drops degenerate over-cap buckets from pairing") {
+    // the exact-dup pair shares every band → every shared bucket has ≥2
+    // docs; with maxBucket=1 no bucket may pair, so candidates vanish
+    // (the O(n²) mega-bucket guard)
+    val none = Docs.minHashCandidates(Docs.minHashSignature(docs), maxBucket = 1)
+      .as[(Long, Long)].collect()
+    assert(none.isEmpty)
+  }
+
   test("simhash: identical docs get identical hashes, near-dups small hamming distance") {
     val h = Docs.simHash(docs).as[(Long, Long)].collect().toMap
     assert(h(1L) === h(4L))
