@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM default TZ pinned to match the session TZ: time-part extraction is
+  // explicit-UTC in code, but any driver-side java.time use must agree on
+  // non-UTC hosts too (document the same flag for cluster spark-submit)
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
