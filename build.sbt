@@ -30,5 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // explicit-UTC in code, but any driver-side java.time use must agree on
   // non-UTC hosts too (document the same flag for cluster spark-submit)
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default heap raised 8g→48g: the 32-thread string-heavy pipelines are
+  // GC-bound below ~48g (716k → 1.07M pages/s, see BENCH/BASELINE.md), and
+  // the round-2 driver-recorded bench regression traced to running under
+  // the small default. On a real cluster this is spark.executor.memory
+  // sizing, not driver tuning.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

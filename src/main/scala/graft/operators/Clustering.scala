@@ -287,11 +287,48 @@ object Clustering {
       }
   }
 
+  /** Both phases (contextForUser → nextPhaseForUser, gps.py:1103-1270 +
+    * 1507-1561) in ONE flatMapGroups pass: the phase-1 records/clusters
+    * never leave the executor, so the two-phase pipeline costs exactly one
+    * shuffle and one per-user DBSCAN sweep — no re-wiring of the per-user
+    * plumbing at call sites (the round-2 gps_next_phase query rebuilt it
+    * inline, running a second group pass).
+    */
+  def nextPhaseTagged(points: DataFrame,
+                      eps: Double = 0.005, minSamples: Int = 100, fence: Double = 500.0,
+                      eps2: Double = 0.005, minSamples2: Int = 10, minDistance: Double = 100.0)
+      : Dataset[ContextOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("lat"), col("lon"), col("binning"))
+      .as[EnrichedPoint]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (u, it) =>
+        val (recs, clus) = contextForUser(u, it.toSeq, eps, minSamples, fence)
+        val (recs2, all) = nextPhaseForUser(recs, clus, eps2, minSamples2, minDistance)
+        recs2.iterator.map(r => ContextOut(Some(r), None)) ++
+          all.iterator.map(c => ContextOut(None, Some(c)))
+      }
+  }
+
+  // the most recent persisted tagged frame; each clustersWithContext call
+  // releases its predecessor so repeated invocations (bench rounds, long
+  // sessions) hold at most ONE cached copy instead of accumulating blocks
+  // until the ContextCleaner happens to reclaim them
+  @volatile private var lastTagged: Dataset[ContextOut] = null
+
   /** Distributed wiring: one shuffle on user_id; all sequential reference
     * semantics run inside each group — in a SINGLE group pass. The tagged
     * frame is lazily persisted so that a consumer of both outputs (e.g. the
     * full §3.1 pipeline) re-sorts and re-DBSCANs each user once, not twice;
     * single-output consumers pay nothing extra beyond the cache write.
+    *
+    * Cache ownership: the persist is released on the NEXT call (or by an
+    * explicit `sparkSession.sharedState.cacheManager.clearCache()`, which
+    * Bench runs between queries); consumers of a previous call's Datasets
+    * simply recompute if they outlive it.
     */
   def clustersWithContext(points: DataFrame,
                           eps: Double = 0.005, minSamples: Int = 100, fence: Double = 500.0)
@@ -300,6 +337,10 @@ object Clustering {
     import spark.implicits._
     val tagged = contextTagged(points, eps, minSamples, fence)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      if (lastTagged != null) lastTagged.unpersist(blocking = false)
+      lastTagged = tagged
+    }
     val records  = tagged.where(col("rec").isNotNull).select(col("rec.*")).as[LabeledRecord]
     val clusters = tagged.where(col("clu").isNotNull).select(col("clu.*")).as[ClusterRow]
     (records, clusters)

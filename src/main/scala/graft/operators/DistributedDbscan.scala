@@ -187,10 +187,17 @@ object DistributedDbscan {
     // single-partition global window in the plan.
     val maxComponents =
       spark.conf.getOption("graft.dbscan.maxComponents").map(_.toLong).getOrElse(10_000_000L)
-    val compMinRows = assigned.groupBy("comp").agg(min("uid").as("cmin")).collect()
-    require(compMinRows.length <= maxComponents,
-      s"${compMinRows.length} DBSCAN components exceed graft.dbscan.maxComponents=" +
+    // guard BEFORE collecting: the count runs distributed over the (already
+    // aggregated, tiny-schema) component frame, so an over-budget component
+    // set fails here without ever materializing rows on the driver
+    val compMin = assigned.groupBy("comp").agg(min("uid").as("cmin"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nComponents = compMin.count()
+    require(nComponents <= maxComponents,
+      s"$nComponents DBSCAN components exceed graft.dbscan.maxComponents=" +
         s"$maxComponents — raise the conf (driver heap permitting) or raise minSamples")
+    val compMinRows = compMin.collect()
+    compMin.unpersist(blocking = false)
     val labelPairs = compMinRows.sortBy(_.getLong(1)).zipWithIndex
       .map { case (r, i) => (r.getLong(0), i) }.toSeq
     import spark.implicits._

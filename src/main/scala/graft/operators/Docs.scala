@@ -78,18 +78,16 @@ object Docs {
     * share of all docs into ONE (band, hash) bucket, turning the self-join
     * quadratic (the hot key AQE's skew split cannot fix — the blowup is
     * row-count, not partition size). Buckets above `maxBucket` docs are
-    * dropped from pairing: run [[dedupExact]] FIRST (identical docs are the
-    * main source of mega-buckets), and treat a capped bucket as its own
-    * near-dup cluster rather than enumerating its O(n²) pairs.
+    * dropped from pairing — NOT silently: the capped set is enumerable via
+    * [[cappedBuckets]] (same banding, same threshold), so callers treat each
+    * capped bucket as its own near-dup cluster (its members are mutual
+    * candidates by construction) instead of losing the recall invisibly.
+    * Run [[dedupExact]] FIRST — identical docs are the main source of
+    * mega-buckets.
     */
   def minHashCandidates(signatures: DataFrame, bands: Int = 4,
                         maxBucket: Int = 10000): DataFrame = {
-    val rows = signatures.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => {
-        val bandSize = floor(size(col("signature")) / bands).cast("int")
-        xxhash64(slice(col("signature"), b * bandSize + 1, bandSize))
-      })).as(Seq("band_idx", "band_hash")))
+    val rows = bandRows(signatures, bands)
     val sizes = rows.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
     val ok = rows.join(sizes.where(col("bucket_n") <= maxBucket), Seq("band_idx", "band_hash"))
       .select("doc_id", "band_idx", "band_hash")
@@ -100,6 +98,29 @@ object Docs {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** (doc_id, band_idx, band_hash) rows — the LSH banding shared by
+    * [[minHashCandidates]] and [[cappedBuckets]].
+    */
+  private def bandRows(signatures: DataFrame, bands: Int): DataFrame =
+    signatures.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b => {
+        val bandSize = floor(size(col("signature")) / bands).cast("int")
+        xxhash64(slice(col("signature"), b * bandSize + 1, bandSize))
+      })).as(Seq("band_idx", "band_hash")))
+
+  /** The buckets [[minHashCandidates]] dropped from pairwise enumeration:
+    * (band_idx, band_hash, bucket_n) with bucket_n > maxBucket. Members of a
+    * capped bucket share an identical signature band, so the bucket IS a
+    * near-dup cluster — handle it as a unit (e.g. keep min doc_id per
+    * bucket) instead of generating its O(n²) pairs.
+    */
+  def cappedBuckets(signatures: DataFrame, bands: Int = 4,
+                    maxBucket: Int = 10000): DataFrame =
+    bandRows(signatures, bands)
+      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
 
   /** Exact n-gram Jaccard similarity for candidate pairs (verification stage
     * after LSH, or direct for small sets).

@@ -98,9 +98,14 @@ object Similarity {
     import spark.implicits._
     val n = corpus.count()
     val stride = math.max(1L, n / math.max(1, maxSample))
+    // sample on a HASH residue, not the raw id residue: a corpus whose
+    // vec_ids are mostly multiples of the stride would otherwise defeat the
+    // bounded-collect design and pull far more than maxSample onto the
+    // driver; the limit() is a hard backstop either way
     val sample: Array[Array[Double]] = corpus
-      .where(pmod(col("vec_id"), lit(stride)) === 0)
+      .where(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
       .select(col("embedding"))
+      .limit(2 * maxSample)
       .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
 
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -130,6 +135,50 @@ object Similarity {
       it += 1
     }
     cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+  }
+
+  // trained-codebook cache: training (count + bounded collect + Lloyd
+  // iterations) is a driver-side job that must not rerun on every query
+  // invocation. Two layers: an in-JVM memo (bench repetitions, interactive
+  // sessions) and a persisted text file keyed by the corpus snapshot
+  // (cross-JVM resume, the lineage-checkpoint pattern). `trainings` counts
+  // actual training runs so specs can assert the second call skips it.
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+  val trainings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def codebookFile(spark: org.apache.spark.sql.SparkSession, key: String): java.nio.file.Path = {
+    val dir = spark.conf.getOption("graft.ivf.codebookDir")
+      .getOrElse("spark-warehouse/_codebooks")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(dir, s"$h.codebook")
+  }
+
+  /** [[trainCentroids]] behind a (corpusKey, dim, nCells, maxSample, iters)
+    * cache: first call trains and persists; later calls (same JVM or a
+    * resumed run) load the stored codebook. `corpusKey` must identify the
+    * corpus snapshot (e.g. its path/version).
+    */
+  def trainCentroidsCached(corpus: DataFrame, dim: Int, nCells: Int, corpusKey: String,
+                           maxSample: Int = 10000, iters: Int = 8): Seq[(Int, Seq[Double])] = {
+    val key = s"$corpusKey|$dim|$nCells|$maxSample|$iters"
+    codebookMemo.computeIfAbsent(key, _ => {
+      val f = codebookFile(corpus.sparkSession, key)
+      if (java.nio.file.Files.exists(f)) {
+        scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files.readAllLines(f))
+          .asScala.toSeq.zipWithIndex
+          .map { case (line, i) => (i, line.split(",").toSeq.map(_.toDouble)) }
+      } else {
+        trainings.incrementAndGet()
+        val cb = trainCentroids(corpus, dim, nCells, maxSample, iters)
+        java.nio.file.Files.createDirectories(f.getParent)
+        java.nio.file.Files.write(f,
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            cb.map(_._2.mkString(","))).asJava)
+        cb
+      }
+    })
   }
 
   /** Cell id = argmax cosine against the centroid codebook (expression over

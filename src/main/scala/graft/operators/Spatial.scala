@@ -93,6 +93,13 @@ object Spatial {
     *      winning dim row by an equi broadcast join on dimKey.
     * The rescoring repeats O(N·|dim|) arithmetic but never materializes,
     * sorts, or shuffles the scored rows.
+    *
+    * PRECONDITION: point lat/lon must be NON-NULL — min(d2) over a null
+    * coordinate is null and the null === null rescore join never matches,
+    * so such points are silently DROPPED from the output (unlike the older
+    * window formulation, which emitted one row per point regardless).
+    * Validate/filter nulls first (operators.Validation) and re-attach them
+    * explicitly if the caller needs them (see the gps_valid query).
     */
   def nearestNeighbor(points: DataFrame, dim: DataFrame, dimKey: String,
                       pointKeys: Seq[String]): DataFrame = {
