@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Grid
+import graft.functions.S2
 
 /** SQL builders for the DuckDB oracle queries.
   *
@@ -62,14 +62,91 @@ object OracleSql {
   /** The GPS stream CTE (twin of Tables.gps). */
   val gpsCte: String = graft.sources.Tables.gpsCte.stripPrefix("WITH ")
 
+  /** CTE chain computing the S2 cell id of ($latE, $lonE) at `level` for
+    * every row of `srcRel` — the textual twin of S2.cellId, same operation
+    * order throughout: radians as (x/18e1*pi()), xyz products, dominant-axis
+    * face CASE with >= ties, gnomonic uv division table, quadratic √ ST,
+    * floor-then-clamp ij, then the Hilbert position as a per-level state
+    * chain (state = n·4+orientation; state' = (state//4)·16 + combo[key],
+    * combo = S2.Combo) seeded with face·4 + face&1. The final id applies the
+    * face≥4 two's-complement correction BEFORE the shift multiply so DuckDB
+    * (which errors on BIGINT overflow rather than wrapping) produces the
+    * identical signed 64-bit value as the JVM's wrapping shift.
+    *
+    * Emits relation `$p` = all `srcRel` columns + `${p}_cell` (BIGINT);
+    * intermediates are EXCLUDEd. Column names are `$p`-prefixed to avoid
+    * collisions; pick a distinct prefix per chain in one query.
+    */
+  def s2CellCtes(srcRel: String, latE: String, lonE: String, level: Int, p: String): String = {
+    require(level >= 1 && level <= 30)
+    val n = 1L << level
+    val phi = s"(($latE) / 18e1 * pi())"
+    val th = s"(($lonE) / 18e1 * pi())"
+    def st(c: String) =
+      s"(CASE WHEN $c >= 0e0 THEN 0.5e0 * sqrt(1e0 + 3e0 * $c) ELSE 1e0 - 0.5e0 * sqrt(1e0 - 3e0 * $c) END)"
+    def ij(c: String) =
+      s"CAST(least(greatest(floor(${st(c)} * ${n}e0), 0e0), ${n - 1}e0) AS BIGINT)"
+    val comboCase = (key: String) =>
+      "(CASE " + key + S2.Combo.zipWithIndex.map { case (c, k) => s" WHEN $k THEN $c" }.mkString + " END)"
+    // AS MATERIALIZED is load-bearing: each level references the previous
+    // state twice (n = s//4 and orientation = s%4), and DuckDB's projection
+    // merging would otherwise textually substitute the state expression —
+    // 2^level blowup that stalls the optimizer from ~level 12 up
+    val levelCtes = (0 until level).map { m =>
+      val twoK = 1L << (level - 1 - m)
+      val key = s"((${p}_s$m % 4) * 4 + ((${p}_i // $twoK) % 2) * 2 + ((${p}_j // $twoK) % 2))"
+      s"""${p}_h${m + 1} AS MATERIALIZED (
+         |  SELECT *, (${p}_s$m // 4) * 16 + ${comboCase(key)} AS ${p}_s${m + 1} FROM ${p}_h$m
+         |)""".stripMargin
+    }.mkString(",\n")
+    val shift = 2 * (30 - level)
+    val faceFix = s"(CASE WHEN ${p}_face >= 4 THEN ${8L * (1L << (2 * level))} ELSE CAST(0 AS BIGINT) END)"
+    val idExpr = s"(((${p}_s$level // 4) - $faceFix) * ${1L << (shift + 1)} + ${1L << shift})"
+    val exclude = (Seq("x", "y", "z", "face", "u", "v", "i", "j") ++ (0 to level).map(m => s"s$m"))
+      .map(c => s"${p}_$c").mkString(", ")
+    s"""${p}_xyz AS (
+       |  SELECT *,
+       |    cos($phi) * cos($th) AS ${p}_x,
+       |    cos($phi) * sin($th) AS ${p}_y,
+       |    sin($phi) AS ${p}_z
+       |  FROM $srcRel
+       |),
+       |${p}_fuv AS (
+       |  SELECT *,
+       |    CASE WHEN abs(${p}_x) >= abs(${p}_y) AND abs(${p}_x) >= abs(${p}_z)
+       |           THEN (CASE WHEN ${p}_x >= 0e0 THEN 0 ELSE 3 END)
+       |         WHEN abs(${p}_y) >= abs(${p}_z) THEN (CASE WHEN ${p}_y >= 0e0 THEN 1 ELSE 4 END)
+       |         ELSE (CASE WHEN ${p}_z >= 0e0 THEN 2 ELSE 5 END) END AS ${p}_face
+       |  FROM ${p}_xyz
+       |),
+       |${p}_uv AS (
+       |  SELECT *,
+       |    CASE ${p}_face WHEN 0 THEN ${p}_y / ${p}_x WHEN 1 THEN -${p}_x / ${p}_y
+       |                   WHEN 2 THEN -${p}_x / ${p}_z WHEN 3 THEN ${p}_z / ${p}_x
+       |                   WHEN 4 THEN ${p}_z / ${p}_y ELSE -${p}_y / ${p}_z END AS ${p}_u,
+       |    CASE ${p}_face WHEN 0 THEN ${p}_z / ${p}_x WHEN 1 THEN ${p}_z / ${p}_y
+       |                   WHEN 2 THEN -${p}_y / ${p}_z WHEN 3 THEN ${p}_y / ${p}_x
+       |                   WHEN 4 THEN -${p}_x / ${p}_y ELSE -${p}_x / ${p}_z END AS ${p}_v
+       |  FROM ${p}_fuv
+       |),
+       |${p}_h0 AS MATERIALIZED (
+       |  SELECT *, ${ij(s"${p}_u")} AS ${p}_i, ${ij(s"${p}_v")} AS ${p}_j,
+       |    CAST(${p}_face * 4 + (${p}_face % 2) AS BIGINT) AS ${p}_s0
+       |  FROM ${p}_uv
+       |),
+       |$levelCtes,
+       |$p AS (
+       |  SELECT * EXCLUDE ($exclude), $idExpr AS ${p}_cell FROM ${p}_h$level
+       |)""".stripMargin
+  }
+
   /** Pages CTEs (twin of ingest.Pages.pagesFromGps + extractText): emits
     * `ptext(url, warc_ts, lang, text)`. DuckDB regexp_replace needs the 'g'
     * flag to match Spark's replace-all semantics; patterns restricted to the
     * Java-regex ∩ RE2 subset.
     */
   val pagesCtes: String = {
-    val cell12 = Grid.cellSql("lat", "lon", 12)
-    val place  = s"'place_' || CAST($cell12 AS VARCHAR)"
+    val place  = "'place_' || CAST(pg_cell AS VARCHAR)"
     val latu   = "CAST(round(lat * 1e6, 0) AS BIGINT)"
     val lonu   = "CAST(round(lon * 1e6, 0) AS BIGINT)"
     val html   =
@@ -80,12 +157,13 @@ object OracleSql {
          |      '</a> at loc:' || CAST($latu AS VARCHAR) || ',' || CAST($lonu AS VARCHAR) ||
          |      '.</p>' || chr(10) || '  <script>var tracking = "<p>";</script>' || chr(10) ||
          |      '</body></html>'""".stripMargin
-    s"""pages AS (
+    s"""${s2CellCtes("gps", "lat", "lon", 10, "pg")},
+       |pages AS (
        |  SELECT 'https://example.org/' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id AS VARCHAR) AS url,
        |    ts AS warc_ts,
        |    CASE WHEN event_id % 17 = 0 THEN 'de' WHEN event_id % 23 = 0 THEN 'fr' ELSE 'en' END AS lang,
        |    $html AS html_s
-       |  FROM gps
+       |  FROM pg
        |),
        |ptext AS (
        |  SELECT url, warc_ts, lang,
@@ -197,22 +275,21 @@ object OracleSql {
        |)""".stripMargin
   }
 
-  /** Labeled-points CTE (twin of Pipelines.labeledPoints): adds date, cell18,
-    * cid ∈ {home, work, x<cell>} via 500 m haversine fences to the per-user
-    * home/work sites.
+  /** Labeled-points CTE (twin of Pipelines.labeledPoints): adds date, the
+    * level-16 S2 cell, cid ∈ {home, work, x<cell>} via 500 m haversine
+    * fences to the per-user home/work sites.
     */
-  val labCtes: String = {
-    val cell18 = Grid.cellSql("lat", "lon", 18)
+  val labCtes: String =
     s"""$gpsCte,
        |$velCtes,
+       |${s2CellCtes("vel", "lat", "lon", 16, "g16")},
        |lab AS (
-       |  SELECT *, CAST(ts AS DATE) AS "date",
+       |  SELECT * EXCLUDE (g16_cell), CAST(ts AS DATE) AS "date",
        |    CASE WHEN ${hav(hlat, hlon, "lat", "lon")} <= 5e2 THEN 'home'
        |         WHEN ${hav(wlat, wlon, "lat", "lon")} <= 5e2 THEN 'work'
-       |         ELSE 'x' || CAST($cell18 AS VARCHAR) END AS cid
-       |  FROM vel
+       |         ELSE 'x' || CAST(g16_cell AS VARCHAR) END AS cid
+       |  FROM g16
        |)""".stripMargin
-  }
 
   /** Sessionized visits CTEs (twin of Sessions.visits over labeled points):
     * emits `visits(user_id, date, pos, cid, time_in, time_out, n_points,

@@ -22,18 +22,18 @@ object Pipelines {
   def velocities(spark: SparkSession, sfDir: String): DataFrame =
     Motion.processVelocities(Tables.gps(spark, sfDir))
 
-  /** Velocity points + date + res-18 cell + fence-labeled cid
-    * (twin of OracleSql.labCtes). cid ∈ {home, work, x<cell18>} via 500 m
+  /** Velocity points + date + level-16 S2 cell (≈150 m) + fence-labeled cid
+    * (twin of OracleSql.labCtes). cid ∈ {home, work, x<cell16>} via 500 m
     * haversine fences around the per-user home/work sites — the J4 fence
     * relabel (gscap/gps.py:1124-1130) applied as a deterministic expression.
     */
   def labeledPoints(spark: SparkSession, sfDir: String): DataFrame = {
-    val cell18 = Grid.cell(col("lat"), col("lon"), 18)
+    val cell16 = Grid.cell(col("lat"), col("lon"), 16)
     velocities(spark, sfDir)
       .withColumn("date", col("ts").cast("date"))
       .withColumn("cid",
         when(Geo.haversineMeters(homeLat, homeLon, col("lat"), col("lon")) <= 500.0, "home")
           .when(Geo.haversineMeters(workLat, workLon, col("lat"), col("lon")) <= 500.0, "work")
-          .otherwise(concat(lit("x"), cell18.cast("string"))))
+          .otherwise(concat(lit("x"), cell16.cast("string"))))
   }
 }

@@ -49,8 +49,8 @@ object ScalingBench {
       .drop("rep")
     val pages = Pages.pagesFromGps(gps)
     val geo = Pages.geocode(pages)
-      .withColumn("cell", Grid.cell(col("lat"), col("lon"), 15))
-      .withColumn("tile_id", Grid.toParent(col("cell"), 15, 7))
+      .withColumn("cell", Grid.cell(col("lat"), col("lon"), 13))
+      .withColumn("tile_id", Grid.toParent(col("cell"), 13, 5))
     val rects = Tables.region(spark, sfDir).select(
       col("r_regionkey"),
       (lit(40.0) + col("r_regionkey").cast("double") * 1e-2 - 2e-3).as("lat_min"),

@@ -27,8 +27,8 @@ object SparkEntry {
     */
   def entry(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.gps(spark, dir)
-      .withColumn("cell", Grid.cell(col("lat"), col("lon"), 15))
-      .withColumn("tile_id", Grid.toParent(col("cell"), 15, 7))
+      .withColumn("cell", Grid.cell(col("lat"), col("lon"), 13))
+      .withColumn("tile_id", Grid.toParent(col("cell"), 13, 5))
     val rects = regionRects(spark, dir)
     pts.join(broadcast(rects),
         col("lat") >= col("lat_min") && col("lat") < col("lat_max") &&
@@ -105,15 +105,15 @@ object SparkEntry {
       Motion.firstOfDayTimeDelta(Pipelines.velocities(s, d))
         .select("user_id", "event_id", "ts", "binning", "time_delta")),
 
-    // ---- tiling (H13/J12) -----------------------------------------------
+    // ---- tiling (H13/J12, real S2 levels: 13 ≈ 1.2 km, 5 ≈ 300 km) -------
     "gps_cells" -> ((s, d) =>
       Tables.gps(s, d)
-        .groupBy(Grid.cell(col("lat"), col("lon"), 15).as("cell"))
+        .groupBy(Grid.cell(col("lat"), col("lon"), 13).as("cell"))
         .agg(count(lit(1)).as("n_points"))),
     "gps_tiles" -> ((s, d) =>
       Tables.gps(s, d)
-        .withColumn("cell", Grid.cell(col("lat"), col("lon"), 15))
-        .withColumn("tile_id", Grid.toParent(col("cell"), 15, 7))
+        .withColumn("cell", Grid.cell(col("lat"), col("lon"), 13))
+        .withColumn("tile_id", Grid.toParent(col("cell"), 13, 5))
         .groupBy("tile_id")
         .agg(count(lit(1)).as("n_points"), countDistinct("user_id").as("n_users"))),
 
@@ -165,7 +165,7 @@ object SparkEntry {
         (lit(40.0) + (col("n_nationkey") % 5).cast("double") * 1e-2 + 2e-3).as("d_lat"),
         (lit(-75.0) + (col("n_nationkey") % 3).cast("double") * 1e-2 + 2e-3).as("d_lon"),
         concat(lit("America/Zone_"), (col("n_nationkey") % 4).cast("string")).as("timezone"))
-      Spatial.nearestNeighborCellRing(Tables.gps(s, d), zips, "zipcode", "event_id", res = 11, maxRings = 2)
+      Spatial.nearestNeighborCellRing(Tables.gps(s, d), zips, "zipcode", "event_id", res = 10, maxRings = 2)
         .groupBy("timezone").agg(count(lit(1)).as("n_points"), countDistinct("zipcode").as("n_zips"))
     }),
     "gps_pip" -> ((s, d) =>
@@ -289,7 +289,7 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars"))),
     "pages_geocode" -> ((s, d) =>
       ingest.Pages.geocode(ingest.Pages.pagesFromGps(Tables.gps(s, d)))
-        .groupBy(Grid.cell(col("lat"), col("lon"), 12).as("cell"))
+        .groupBy(Grid.cell(col("lat"), col("lon"), 10).as("cell"))
         .agg(count(lit(1)).as("n_pages"), countDistinct("url").as("n_urls"))),
     "media_features" -> ((s, d) =>
       operators.Multimodal.mediaFeatures(
@@ -540,9 +540,7 @@ object SparkEntry {
     ("JSONDecodeError", -1, "{nope", "JSONDecodeError"))
 
   def oracleSql: Map[String, String] = {
-    import OracleSql.{gpsCte, labCtes, velCtes, visitCtes}
-    val cell15 = Grid.cellSql("lat", "lon", 15)
-    val cell7  = Grid.cellSql("lat", "lon", 7)
+    import OracleSql.{gpsCte, labCtes, velCtes, visitCtes, s2CellCtes}
 
     Map(
       "q1_pricing" ->
@@ -589,14 +587,17 @@ object SparkEntry {
            |       THEN epoch_us(ts) // 1000000 - epoch_us(date_trunc('day', ts)) // 1000000
            |       ELSE time_delta END AS time_delta
            |FROM vel""".stripMargin,
+      // gps_tiles' oracle encodes level 5 DIRECTLY from lat/lon while the
+      // Spark side takes toParent(cell13) — their equality IS the Hilbert
+      // prefix property of the codec, verified end-to-end by the hash match
       "gps_cells" ->
-        s"""WITH $gpsCte
-           |SELECT $cell15 AS cell, count(*) AS n_points FROM gps GROUP BY 1""".stripMargin,
+        s"""WITH $gpsCte, ${s2CellCtes("gps", "lat", "lon", 13, "gc")}
+           |SELECT gc_cell AS cell, count(*) AS n_points FROM gc GROUP BY 1""".stripMargin,
       "gps_tiles" ->
-        s"""WITH $gpsCte
-           |SELECT $cell7 AS tile_id, count(*) AS n_points,
+        s"""WITH $gpsCte, ${s2CellCtes("gps", "lat", "lon", 5, "gt")}
+           |SELECT gt_cell AS tile_id, count(*) AS n_points,
            |       count(DISTINCT user_id) AS n_users
-           |FROM gps GROUP BY 1""".stripMargin,
+           |FROM gt GROUP BY 1""".stripMargin,
 
       "gps_sessions" ->
         s"""WITH $visitCtes
@@ -945,10 +946,11 @@ object SparkEntry {
            |geo AS (
            |  SELECT url, $rl AS lat, $rn AS lon FROM ptext
            |  WHERE regexp_matches(text, 'loc:-?\\d+,-?\\d+')
-           |)
-           |SELECT ${Grid.cellSql("lat", "lon", 12)} AS cell,
+           |),
+           |${s2CellCtes("geo", "lat", "lon", 10, "gg")}
+           |SELECT gg_cell AS cell,
            |       count(*) AS n_pages, count(DISTINCT url) AS n_urls
-           |FROM geo GROUP BY 1""".stripMargin
+           |FROM gg GROUP BY 1""".stripMargin
       },
       "media_meta" ->
         """SELECT event_id,

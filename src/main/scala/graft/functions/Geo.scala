@@ -57,104 +57,43 @@ object NpRound {
   }
 }
 
-/** Hierarchical spatial grid index filling the H3/S2 role in this engine.
+/** The engine's hierarchical spatial index — a thin façade over the real
+  * [[S2]] cell codec (cube face + quadratic equal-area ST + Hilbert curve,
+  * canonical 64-bit id format). Kept as `Grid` so operators address one
+  * API; `res` parameters are S2 LEVELS (cell width ≈ 54°·2^−level, e.g.
+  * level 10 ≈ 9 km, 13 ≈ 1.2 km, 16 ≈ 150 m).
   *
-  * A cell id packs (resolution, yIndex, xIndex) into one long:
-  *   cell = res << 58 | y << 29 | x
-  * where at resolution r the world is split into 2^r × 2^r tiles over
-  * lon ∈ [-180, 180), lat ∈ [-90, 90). Properties used by the engine:
-  *   - integer-arithmetic codec → exact, portable, SQL-expressible (the
-  *     DuckDB oracles recompute identical ids), codegen-friendly;
-  *   - hierarchical: parent at res p is a pure bit shift → raster↔vector
-  *     tile assignment (SURVEY.md §2 J12) is a deterministic expression;
-  *   - k-ring neighborhoods are ±k index windows → distance-bounded joins
-  *     become cell-equi joins (SURVEY.md §2 J4/J5/J6/J11).
-  *
-  * Resolution ↔ cell size at equator: width = 360/2^r degrees
-  * (r=12 ≈ 9.8 km, r=15 ≈ 1.2 km, r=18 ≈ 153 m, r=20 ≈ 38 m).
+  * Why S2 and not a lat/lon grid: equal-area cells are the skew story at
+  * scale — equirectangular cells shrink toward the poles (unboundedly
+  * smaller area per cell ⇒ hot high-latitude shuffle keys and degenerate
+  * lon-ring math), while S2's quadratic projection bounds max/min cell area
+  * at ≈ 2.08 for every level. The DuckDB oracle recomputes identical ids
+  * (OracleSql.s2CellCtes).
   */
 object Grid {
-  val ResShift  = 58
-  val YShift    = 29
-  val MaxRes    = 28
-  val IdxMask   = (1L << YShift) - 1
 
-  /** Encode (lat, lon) → cell id at resolution `res`. Pure Column expr. */
-  def cell(lat: Column, lon: Column, res: Int): Column = {
-    require(res >= 0 && res <= MaxRes, s"res out of range: $res")
-    val n = (1L << res).toDouble
-    val xi = least(greatest(floor((lon + 180.0) / 360.0 * n), lit(0.0)), lit(n - 1)).cast("long")
-    val yi = least(greatest(floor((lat + 90.0) / 180.0 * n), lit(0.0)), lit(n - 1)).cast("long")
-    lit(res.toLong << ResShift) + yi * (1L << YShift) + xi
-  }
+  /** Encode (lat, lon) → S2 cell id at `res` (level). Native codegen expr. */
+  def cell(lat: Column, lon: Column, res: Int): Column = S2CellIdExpr(lat, lon, res)
 
-  /** Resolution stored in a cell id. */
-  def res(cell: Column): Column = shiftright(cell, ResShift)
-
-  def xIndex(cell: Column): Column = cell.bitwiseAND(IdxMask)
-  def yIndex(cell: Column): Column = shiftright(cell, YShift).bitwiseAND(IdxMask)
-
-  /** Parent cell at a coarser resolution — pure integer shifts, exact. */
+  /** Parent cell at a coarser level — pure bit ops ((id & −lsb) | lsb),
+    * exact by the Hilbert prefix property (equals encoding directly at
+    * `parentRes`, asserted in GeoSpec).
+    */
   def toParent(cell: Column, childRes: Int, parentRes: Int): Column = {
     require(parentRes <= childRes, "parent must be coarser")
-    val d = childRes - parentRes
-    lit(parentRes.toLong << ResShift) +
-      shiftright(yIndex(cell), d) * (1L << YShift) +
-      shiftright(xIndex(cell), d)
+    val lsb = 1L << (2 * (S2.MaxLevel - parentRes))
+    cell.bitwiseAND(lit(-lsb)).bitwiseOR(lit(lsb))
   }
 
-  /** Cell center (lat, lon) — used for approximate distances between cells. */
-  def centerLat(cell: Column, res: Int): Column = {
-    val n = (1L << res).toDouble
-    (yIndex(cell).cast("double") + 0.5) * (180.0 / n) - 90.0
-  }
-  def centerLon(cell: Column, res: Int): Column = {
-    val n = (1L << res).toDouble
-    (xIndex(cell).cast("double") + 0.5) * (360.0 / n) - 180.0
-  }
-
-  /** k-ring: array of all cells within a (2k+1)×(2k+1) index window around
-    * `cell` (lon wraps, lat clamps). Expressed with `transform`+`sequence`
-    * built-ins — a generator-free, codegen-friendly neighborhood expansion
-    * used to turn radius predicates into cell-equi joins.
+  /** k-ring: all cells within k ij-steps (a guaranteed superset of the BFS
+    * ball, incl. across cube-face edges/corners — see [[S2.ringCells]]).
+    * The level is read from the id; `resolution` is kept for API parity.
     */
-  def kRing(cellCol: Column, resolution: Int, k: Int): Column = {
-    val n    = 1L << resolution
-    val side = 2 * k + 1
-    val x    = xIndex(cellCol)
-    val y    = yIndex(cellCol)
-    val offs = sequence(lit(0), lit(side * side - 1))
-    array_distinct(filter(
-      transform(offs, i => {
-        val dx = (i % side) - k
-        val dy = floor(i / side).cast("int") - k
-        val nx = pmod(x + dx, lit(n))
-        val ny = y + dy
-        when(ny >= 0 && ny < n,
-          lit(resolution.toLong << ResShift) + ny * (1L << YShift) + nx)
-      }),
-      c => c.isNotNull
-    ))
-  }
+  def kRing(cellCol: Column, resolution: Int, k: Int): Column = S2RingExpr(cellCol, k)
 
-  /** Scala-side encode (driver/test use; mirrors `cell` exactly). */
-  def cellId(lat: Double, lon: Double, res: Int): Long = {
-    val n  = (1L << res).toDouble
-    val xi = math.min(math.max(math.floor((lon + 180.0) / 360.0 * n), 0.0), n - 1).toLong
-    val yi = math.min(math.max(math.floor((lat + 90.0) / 180.0 * n), 0.0), n - 1).toLong
-    (res.toLong << ResShift) | (yi << YShift) | xi
-  }
+  /** Scala-side encode (driver/test use; same codec as `cell`). */
+  def cellId(lat: Double, lon: Double, res: Int): Long = S2.cellId(lat, lon, res)
 
-  /** SQL fragment computing the same cell id (for oracle parity). The
-    * literal forms (e-notation) force DOUBLE in DuckDB, matching Spark.
-    */
-  def cellSql(latExpr: String, lonExpr: String, resolution: Int): String = {
-    val n    = (1L << resolution).toDouble
-    val nLit = s"${(1L << resolution)}e0"
-    val nm1  = s"${(1L << resolution) - 1}e0"
-    val tag  = resolution.toLong << ResShift
-    s"(CAST($tag AS BIGINT) " +
-      s"+ CAST(least(greatest(floor(($latExpr + 9e1) / 18e1 * $nLit), 0e0), $nm1) AS BIGINT) * ${1L << YShift} " +
-      s"+ CAST(least(greatest(floor(($lonExpr + 18e1) / 36e1 * $nLit), 0e0), $nm1) AS BIGINT))"
-  }
+  /** Scala-side parent. */
+  def parentId(cell: Long, parentRes: Int): Long = S2.parentId(cell, parentRes)
 }

@@ -12,7 +12,7 @@ import graft.functions.Grid
   * (url string, warc_ts timestamp, html binary, text string, lang string).
   * Pages are synthesized deterministically from the GPS stream: each point
   * becomes a page whose html embeds a gazetteer place name (derived from the
-  * point's res-12 grid cell) and the point location as INTEGER microdegrees
+  * point's level-10 S2 cell) and the point location as INTEGER microdegrees
   * (integer rendering is byte-identical across engines, unlike double
   * formatting) — so geocode → tile → spatial-join is exercisable end-to-end
   * with exactly computable expected output.
@@ -29,7 +29,7 @@ object Pages {
   def microDeg(c: Column): Column = round(c * 1e6, 0).cast("long")
 
   def placeName(lat: Column, lon: Column): Column =
-    concat(lit("place_"), Grid.cell(lat, lon, 12).cast("string"))
+    concat(lit("place_"), Grid.cell(lat, lon, 10).cast("string"))
 
   /** html payload (as string; stored as binary in the table). */
   def htmlFor(lat: Column, lon: Column): Column =

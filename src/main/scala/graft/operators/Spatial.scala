@@ -31,17 +31,34 @@ object Spatial {
     * into covering cells (driver-side, polygons are a small dim), equi-join
     * points on cell id, then exact ray-cast refine on boundary cells.
     * Polygons given as (poly_id, vertices: Seq[(lat, lon)]).
+    *
+    * S2 form: BFS flood from the bbox-center cell over real cell
+    * neighborhoods (S2.ringCells k=1, face-crossing included), keeping every
+    * cell whose center lies in the bbox PADDED by one max cell diagonal — a
+    * guaranteed SUPERSET of the cells intersecting the bbox (extras are
+    * removed by the exact refine). Antimeridian-crossing bboxes are out of
+    * scope here (split the polygon first).
     */
   def polyfillCells(vertices: Seq[(Double, Double)], res: Int): Seq[Long] = {
+    import graft.functions.S2
     val lats = vertices.map(_._1); val lons = vertices.map(_._2)
-    val n = (1L << res).toDouble
-    def yIdx(lat: Double) = math.min(math.max(math.floor((lat + 90.0) / 180.0 * n), 0.0), n - 1).toLong
-    def xIdx(lon: Double) = math.min(math.max(math.floor((lon + 180.0) / 360.0 * n), 0.0), n - 1).toLong
-    val cells = for {
-      y <- yIdx(lats.min) to yIdx(lats.max)
-      x <- xIdx(lons.min) to xIdx(lons.max)
-    } yield (res.toLong << Grid.ResShift) | (y << Grid.YShift) | x
-    cells.toSeq
+    val (latMin, latMax) = (lats.min, lats.max)
+    val (lonMin, lonMax) = (lons.min, lons.max)
+    val pad = S2.maxDiagDeg(res)
+    val seed = S2.cellId((latMin + latMax) / 2, (lonMin + lonMax) / 2, res)
+    val seen = scala.collection.mutable.HashSet[Long](seed)
+    val queue = scala.collection.mutable.Queue(seed)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      val (clat, clon) = S2.centerLatLon(c)
+      if (clat >= latMin - pad && clat <= latMax + pad &&
+          clon >= lonMin - pad && clon <= lonMax + pad) {
+        out += c
+        S2.ringCells(c, 1).foreach(nb => if (seen.add(nb)) queue.enqueue(nb))
+      }
+    }
+    out.toSeq
   }
 
   /** Exact point-in-polygon test as a pure Column expression (ray cast on a
@@ -140,7 +157,12 @@ object Spatial {
     // tiny dim instead of the 10^12-row probe side
     val dimCells = dim.withColumn("probe_cell",
       explode(Grid.kRing(Grid.cell(col("d_lat"), col("d_lon"), res), res, maxRings)))
-    val cellHeight = 180.0 / (1L << res).toDouble
+    // acceptance bound from the S2 min-width metric: anything OUTSIDE a
+    // dim's maxRings-ring is ≥ maxRings·minWidth away (ring ⊇ BFS ball and
+    // a path leaving the ball crosses that many full cell widths), and
+    // euclid-on-degrees ≥ angular degrees, so a hit at d ≤ bound cannot be
+    // beaten by an unseen dim row
+    val bound = maxRings * graft.functions.S2.minWidthDeg(res)
     val d2 = Geo.euclidDeg2(col("lat"), col("lon"), col("d_lat"), col("d_lon"))
 
     val cand = points
@@ -149,7 +171,7 @@ object Spatial {
       .join(broadcast(dimCells), Seq("probe_cell"))
       .withColumn("d2", d2)
     val hit = argminJoin(cand, Seq(pointKey), dimKey, exclude = Seq("probe_cell"))
-      .where(sqrt(col("d2")) <= maxRings * cellHeight) // coverage guarantee
+      .where(sqrt(col("d2")) <= bound) // coverage guarantee
     val remaining = points.join(hit.select(pointKey), Seq(pointKey), "left_anti")
     val rest = nearestNeighbor(remaining, dim, dimKey, Seq(pointKey))
       .withColumn("cell", Grid.cell(col("lat"), col("lon"), res))

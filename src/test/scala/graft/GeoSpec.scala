@@ -39,33 +39,32 @@ class GeoSpec extends SparkSpec {
     for ((a, b, c, d) <- pts) assert(math.abs(hv(a, b, c, d) - hv(c, d, a, b)) < 1e-9)
   }
 
-  test("grid cell codec round-trips and scala/column parity") {
+  test("grid cell codec: scala/column parity, level recovery, center round-trip") {
+    import graft.functions.S2
     val samples = Seq((0.0, 0.0), (40.001, -75.002), (-89.9, 179.9), (89.9, -179.9), (38.11094, -86.91513))
-    for (res <- Seq(7, 12, 15, 18); (lat, lon) <- samples) {
+    for (res <- Seq(5, 10, 13, 16); (lat, lon) <- samples) {
       val fromCol = Seq((lat, lon)).toDF("lat", "lon")
         .select(Grid.cell(col("lat"), col("lon"), res)).head.getLong(0)
       assert(fromCol === Grid.cellId(lat, lon, res), s"res=$res ($lat,$lon)")
-      // decode → center stays inside the cell
-      val n = (1L << res).toDouble
-      val y = (fromCol >> Grid.YShift) & Grid.IdxMask
-      val x = fromCol & Grid.IdxMask
-      assert(lat >= y * 180.0 / n - 90.0 - 1e-9 && lat <= (y + 1) * 180.0 / n - 90.0 + 1e-9)
-      assert(lon >= x * 360.0 / n - 180.0 - 1e-9 && lon <= (x + 1) * 360.0 / n - 180.0 + 1e-9)
+      assert(S2.level(fromCol) === res)
+      // decode → the cell's center re-encodes to the same cell
+      val (cla, clo) = S2.centerLatLon(fromCol)
+      assert(Grid.cellId(cla, clo, res) === fromCol)
     }
   }
 
-  test("grid parent hierarchy: toParent == direct encode at coarser res") {
+  test("grid parent hierarchy: toParent == direct encode at coarser level (Hilbert prefix)") {
     val df = Seq((40.0123, -74.9876), (-12.34, 56.78)).toDF("lat", "lon")
     val rows = df.select(
-      Grid.toParent(Grid.cell(col("lat"), col("lon"), 15), 15, 7).as("p"),
-      Grid.cell(col("lat"), col("lon"), 7).as("d")).collect()
+      Grid.toParent(Grid.cell(col("lat"), col("lon"), 13), 13, 5).as("p"),
+      Grid.cell(col("lat"), col("lon"), 5).as("d")).collect()
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("kRing contains the cell itself and has (2k+1)^2 members away from edges") {
     val df = Seq((40.0, -75.0)).toDF("lat", "lon")
-      .select(Grid.cell(col("lat"), col("lon"), 15).as("cell"))
-    val ring = df.select(Grid.kRing(col("cell"), 15, 1).as("ring"), col("cell")).head
+      .select(Grid.cell(col("lat"), col("lon"), 13).as("cell"))
+    val ring = df.select(Grid.kRing(col("cell"), 13, 1).as("ring"), col("cell")).head
     val cells = ring.getSeq[Long](0)
     assert(cells.size === 9)
     assert(cells.contains(ring.getLong(1)))

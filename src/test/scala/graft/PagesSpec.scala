@@ -16,8 +16,8 @@ class PagesSpec extends SparkSpec {
   test("extractor output is byte-exact for the canonical page") {
     val r = Pages.pagesFromGps(gps).select("url", "text").head
     assert(r.getString(0) === "https://example.org/3/42")
-    // cell id at res 12: y=floor((40.03+90)/180*4096)=2958, x=floor((-75.01+180)/360*4096)=1194
-    val cell = graft.functions.Grid.cellId(40.03, -75.01, 12)
+    // place name carries the point's level-10 S2 cell id
+    val cell = graft.functions.Grid.cellId(40.03, -75.01, 10)
     assert(r.getString(1) ===
       s"place_$cell Field report Observed near place_$cell at loc:40030000,-75010000.")
   }

@@ -43,23 +43,18 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("grid: scala and expected-index encode agree; parent contains child") {
+  test("grid: level recovery, center round-trip, parent-prefix hierarchy") {
+    import graft.functions.S2
     forAll(lat, lon, Gen.choose(1, 20)) { (la: Double, lo: Double, res: Int) =>
       val cell = Grid.cellId(la, lo, res)
-      // res recoverable
-      assert((cell >>> Grid.ResShift) === res.toLong)
-      // point is inside its cell bounds
-      val n = (1L << res).toDouble
-      val y = (cell >> Grid.YShift) & Grid.IdxMask
-      val x = cell & Grid.IdxMask
-      assert(la >= y * 180.0 / n - 90.0 - 1e-9 && la < (y + 1) * 180.0 / n - 90.0 + 1e-9)
-      assert(lo >= x * 360.0 / n - 180.0 - 1e-9 && lo < (x + 1) * 360.0 / n - 180.0 + 1e-9)
-      // hierarchy: encoding directly at res-1 equals shifting
-      if (res > 1) {
-        val parent = Grid.cellId(la, lo, res - 1)
-        assert(((parent >> Grid.YShift) & Grid.IdxMask) === (y >> 1))
-        assert((parent & Grid.IdxMask) === (x >> 1))
-      }
+      // level recoverable from the trailing-1 format
+      assert(S2.level(cell) === res)
+      // the cell's center re-encodes to the same cell (point inside bounds)
+      val (cla, clo) = S2.centerLatLon(cell)
+      assert(Grid.cellId(cla, clo, res) === cell)
+      // hierarchy: bit-op parent equals encoding directly at res-1
+      if (res > 1)
+        assert(Grid.parentId(cell, res - 1) === Grid.cellId(la, lo, res - 1))
     }
   }
 
