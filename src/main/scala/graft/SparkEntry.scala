@@ -292,11 +292,17 @@ object SparkEntry {
         .groupBy(Grid.cell(col("lat"), col("lon"), 10).as("cell"))
         .agg(count(lit(1)).as("n_pages"), countDistinct("url").as("n_urls"))),
     "media_features" -> ((s, d) =>
+      // pixel/sample-level decode runs inside the gate: mean_level comes
+      // from inflate+unfilter'd PNG pixels, mean_amplitude/peak from
+      // decoded PCM samples (exact integer sums under the aggregation)
       operators.Multimodal.mediaFeatures(
         operators.Multimodal.mediaFromPages(
           ingest.Pages.pagesFromGps(Tables.gps(s, d))))
         .groupBy("media_type", "size_class")
-        .agg(count(lit(1)).as("n_media"), sum("n_bytes").as("total_bytes"))),
+        .agg(count(lit(1)).as("n_media"), sum("n_bytes").as("total_bytes"),
+          bround(avg("mean_level"), 2).as("avg_pixel_level"),
+          bround(avg("mean_amplitude"), 2).as("avg_amplitude"),
+          max("peak").as("max_peak"))),
     "media_meta" -> ((s, d) => {
       // REAL container-header decode: synthesize actual PNG/WAV headers
       // from event_id arithmetic, parse them back with the byte-expression

@@ -7,17 +7,19 @@ import org.apache.spark.sql.functions._
   * pipelines: payloads are opaque `binary` columns with typed metadata
   * structs.
   *
-  * REAL decode surface: [[decodeMeta]] sniffs container magic bytes and
-  * parses actual format headers — PNG signature + IHDR
-  * (width/height/bit-depth/color-type, big-endian) and canonical RIFF/WAVE
-  * fmt chunks (channels/sample-rate/bits, little-endian) — as pure
-  * codegen'd byte expressions (substring/hex/conv), no UDF, no codec
-  * library. This is the metadata-extraction stage of a real pipeline.
+  * REAL decode, both levels — no stubs remain in this module:
   *
-  * STUB NOTICE (narrowed): only PIXEL/SAMPLE decode ([[fakeThumbnail]])
-  * remains a stand-in — an actual resize/frame-extract kernel needs codec
-  * libraries absent from this container; swap it in without touching the
-  * plumbing. Everything else in this module parses or emits real bytes.
+  *   - header level: [[decodeMeta]] sniffs container magic bytes and parses
+  *     actual format headers — PNG signature + IHDR (width/height/bit-depth/
+  *     color-type, big-endian) and canonical RIFF/WAVE fmt chunks (channels/
+  *     sample-rate/bits, little-endian) — as pure codegen'd byte expressions
+  *     (substring/hex/conv), no UDF;
+  *   - pixel/sample level: [[mediaFeatures]] decodes ACTUAL content —
+  *     PNG = zlib inflate + per-scanline unfilter (all five spec filter
+  *     types) + average-pool thumbnail; WAV = RIFF chunk walk + 16-bit LE
+  *     PCM amplitude stats/waveform — via the compiled kernels in
+  *     graft.functions.MediaImpl (java.util.zip is in the JDK; no codec
+  *     jars needed). Round-trips are pinned exact in MultimodalSpec.
   */
 object Multimodal {
 
@@ -92,40 +94,48 @@ object Multimodal {
       when(isWav(payload), leUInt(payload, 35, 2).cast("int")).as("bits_per_sample"),
       length(payload).cast("long").as("n_bytes"))
 
-  /** Synthesize a media table from pages: every page becomes a REAL
-    * container — a PNG whose IHDR carries url-hash-derived dimensions, or a
-    * RIFF/WAVE whose fmt chunk carries url-hash-derived audio params — with
-    * the page's html bytes as the (undecodable, but honestly labeled) body.
-    * [[decodeMeta]] then recovers the metadata by actually parsing the
-    * headers, so the whole media path is real at the container level.
+  /** Synthesize a media table from pages: every page becomes a FULLY REAL
+    * container with decodable content — a PNG whose zlib IDAT holds actual
+    * url-seeded RGBA pixels (filters cycling through all five spec types,
+    * real chunk CRCs), or a RIFF/WAVE with actual url-seeded 16-bit PCM
+    * samples. Dimensions are kept thumbnail-scale (≤ 72×72 / ≤ 4k frames)
+    * so the synthetic corpus streams; real corpora carry real bytes through
+    * the same column.
     */
   def mediaFromPages(pages: DataFrame): DataFrame = {
-    val w  = (abs(xxhash64(col("url"))) % 1920 + 64).cast("int")
-    val h  = (abs(xxhash64(col("url"), lit(1))) % 1080 + 64).cast("int")
-    val sr = (abs(xxhash64(col("url"), lit(3))) % 40000 + 8000).cast("int")
+    import graft.functions.{PngImageExpr, WavAudioExpr}
+    val seed = xxhash64(col("url"))
+    val w  = (abs(seed) % 64 + 8).cast("int")
+    val h  = (abs(xxhash64(col("url"), lit(1))) % 64 + 8).cast("int")
+    val sr = when(abs(xxhash64(col("url"), lit(3))) % 3 === 0, 8000)
+      .when(abs(xxhash64(col("url"), lit(3))) % 3 === 1, 22050).otherwise(44100).cast("int")
     val ch = (abs(xxhash64(col("url"), lit(4))) % 2 + 1).cast("int")
+    val nf = (abs(xxhash64(col("url"), lit(5))) % 4000 + 64).cast("int")
     val isImg = abs(xxhash64(col("url"), lit(2))) % 2 === 0
     pages.select(
       col("url"),
       when(isImg, "image/png").otherwise("audio/wav").as("media_type"),
-      when(isImg, pngPayload(w, h, col("html")))
-        .otherwise(wavPayload(sr, ch, col("html"))).as("payload"))
+      when(isImg, PngImageExpr(w, h, seed))
+        .otherwise(WavAudioExpr(sr, ch, nf, seed)).as("payload"))
   }
 
-  /** STUB thumbnail/frame-sample: deterministic byte slice standing in for
-    * a resize/frame-extract kernel (needs codec libs absent here);
-    * preserves the batch shape contract (binary in → smaller binary out).
+  /** REAL pixel/sample decode of a payload column: PNG inflate + unfilter +
+    * 4×4 average-pool thumbnail; WAV PCM amplitude stats + 16-bin waveform.
+    * Exactly one of the two structs has ok=true per well-formed payload.
     */
-  def fakeThumbnail(payload: Column, maxBytes: Int = 256): Column =
-    substring(payload, 1, maxBytes)
+  def pixelStats(payload: Column): Column = graft.functions.PngStatsExpr(payload)
+  def sampleStats(payload: Column): Column = graft.functions.WavStatsExpr(payload)
 
-  /** The pipeline shape: real header decode → typed metadata → bucket by
-    * size class for downstream batch-friendly partitioning.
+  /** The pipeline shape: header decode → typed metadata, PLUS content
+    * decode → pixel/sample features (mean channel levels from exact integer
+    * sums, pooled thumbnail bytes, PCM amplitude stats). Bucketing by size
+    * class keeps downstream batches partition-friendly.
     */
   def mediaFeatures(media: DataFrame): DataFrame =
     media
       .withColumn("meta", decodeMeta(col("payload")))
-      .withColumn("thumb", fakeThumbnail(col("payload")))
+      .withColumn("px", pixelStats(col("payload")))
+      .withColumn("au", sampleStats(col("payload")))
       .select(
         col("url"), col("media_type"),
         col("meta.sniffed_type").as("sniffed_type"),
@@ -133,7 +143,14 @@ object Multimodal {
         col("meta.channels").as("channels"), col("meta.sample_rate").as("sample_rate"),
         col("meta.n_bytes").as("n_bytes"),
         (col("meta.width") * col("meta.height")).as("pixels"),
-        length(col("thumb")).cast("long").as("thumb_bytes"),
+        // decoded-content features (exact integer math)
+        when(col("px.ok"),
+          (col("px.sum_r") + col("px.sum_g") + col("px.sum_b"))
+            / (col("px.width") * col("px.height") * 3)).as("mean_level"),
+        when(col("px.ok"), col("px.thumb")).as("thumb"),
+        when(col("au.ok"), col("au.sum_abs") / col("au.n_samples")).as("mean_amplitude"),
+        when(col("au.ok"), col("au.peak")).as("peak"),
+        when(col("au.ok"), col("au.waveform")).as("waveform"),
         when(col("meta.width") >= 1024, "large")
           .when(col("meta.width") >= 256, "medium")
           .when(col("meta.width").isNotNull, "small")

@@ -48,7 +48,66 @@ class MultimodalSpec extends SparkSpec {
     assert(raw.isNullAt(raw.fieldIndex("width")) && raw.isNullAt(raw.fieldIndex("channels")))
   }
 
-  test("media pipeline: synthesized containers decode back via real header parse") {
+  test("PNG encode→decode round-trip is pixel-exact (all five filter types)") {
+    import graft.functions.MediaImpl
+    for ((w, h) <- Seq((1, 1), (3, 7), (8, 8), (17, 5), (64, 6))) {
+      val expected = MediaImpl.rawImage(w, h, seed = w * 1000L + h)
+      val dec = MediaImpl.pngDecode(MediaImpl.pngEncode(w, h, seed = w * 1000L + h))
+      assert(dec != null, s"($w,$h)")
+      assert(dec._1 === w && dec._2 === h)
+      assert(dec._3.toSeq === expected.toSeq, s"($w,$h)") // h≥5 cycles filters 0..4
+    }
+    // non-PNG bytes are rejected, not crashed on
+    assert(MediaImpl.pngDecode("not a png at all".getBytes) === null)
+  }
+
+  test("PNG unfilter is the spec algorithm: handcrafted Up-filtered image decodes to known pixels") {
+    import graft.functions.MediaImpl
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.{CRC32, Deflater}
+    // 1×2 RGBA: row0 filter None = (10,20,30,40); row1 filter Up with
+    // deltas (1,2,3,4) → reconstructed row1 = (11,22,33,44)
+    val filtered = Array[Byte](0, 10, 20, 30, 40, 2, 1, 2, 3, 4)
+    val d = new Deflater(); d.setInput(filtered); d.finish()
+    val z = new ByteArrayOutputStream(); val buf = new Array[Byte](256)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    def be(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new CRC32(); crc.update(t.getBytes); crc.update(data)
+      be(data.length) ++ t.getBytes ++ data ++ be(crc.getValue.toInt)
+    }
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", be(1) ++ be(2) ++ Array[Byte](8, 6, 0, 0, 0)) ++
+      chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val dec = MediaImpl.pngDecode(png)
+    assert(dec._1 === 1 && dec._2 === 2)
+    assert(dec._3.toSeq === Seq[Byte](10, 20, 30, 40, 11, 22, 33, 44))
+  }
+
+  test("WAV PCM decode: handcrafted samples give exact amplitude stats") {
+    import graft.functions.MediaImpl
+    // minimal canonical wav with samples [100, -200, 300]
+    val wav = MediaImpl.wavEncode(8000, 1, 3, seed = 0L)
+    // overwrite the 3 samples with known LE values
+    def le16(off: Int, v: Int): Unit = { wav(off) = (v & 0xff).toByte; wav(off + 1) = ((v >> 8) & 0xff).toByte }
+    le16(44, 100); le16(46, -200 & 0xffff); le16(48, 300)
+    val r = MediaImpl.wavStats(wav)
+    assert(r.getBoolean(0) === true)
+    assert(r.getLong(1) === 3L)     // n_samples
+    assert(r.getLong(2) === 600L)   // sum_abs = 100+200+300
+    assert(r.getInt(3) === 300)     // peak
+    assert(r.getBinary(4).length === 16)
+    // encode→decode agreement with the sample generator (LE byte round-trip)
+    val n = 250
+    val full = MediaImpl.wavEncode(44100, 2, n, seed = 7L)
+    val expect = MediaImpl.rawSamples(n, 2, seed = 7L)
+    val s = MediaImpl.wavStats(full)
+    assert(s.getLong(1) === expect.length.toLong)
+    assert(s.getLong(2) === expect.map(v => math.abs(v.toInt).toLong).sum)
+    assert(s.getInt(3) === expect.map(v => math.abs(v.toInt)).max)
+  }
+
+  test("media pipeline: synthesized containers decode back via real content parse") {
     val media = Multimodal.mediaFromPages(Pages.pagesFromGps(gps))
     val f = Multimodal.mediaFeatures(media).orderBy("url").collect()
     assert(f.length === 2)
@@ -57,19 +116,32 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[String]("sniffed_type") === r.getAs[String]("media_type"))
       if (r.getAs[String]("media_type") == "image/png") {
         val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
-        assert(w >= 64 && w < 1984 && h >= 64 && h < 1144)
+        assert(w >= 8 && w < 72 && h >= 8 && h < 72)
         assert(r.getAs[Long]("pixels") === w.toLong * h)
-        assert(Seq("large", "medium", "small").contains(r.getAs[String]("size_class")))
+        // decoded-pixel features: 4×4 RGBA pooled thumb, plausible mean
+        assert(r.getAs[Array[Byte]]("thumb").length === 64)
+        val lvl = r.getAs[Double]("mean_level")
+        assert(lvl > 0 && lvl < 255, s"mean_level=$lvl")
+        assert(r.isNullAt(r.fieldIndex("mean_amplitude")))
       } else {
         val sr = r.getAs[Int]("sample_rate")
-        assert(sr >= 8000 && sr < 48000)
+        assert(Seq(8000, 22050, 44100).contains(sr))
         assert(Seq(1, 2).contains(r.getAs[Int]("channels")))
-        assert(Seq("hifi", "lofi").contains(r.getAs[String]("size_class")))
+        // decoded-sample features: 16-bin waveform, plausible amplitude
+        assert(r.getAs[Array[Byte]]("waveform").length === 16)
+        assert(r.getAs[Double]("mean_amplitude") > 0)
+        assert(r.getAs[Int]("peak") > 0 && r.getAs[Int]("peak") <= 32768)
+        assert(r.isNullAt(r.fieldIndex("mean_level")))
       }
-      assert(r.getAs[Long]("thumb_bytes") <= 256L)
     }
-    // determinism: same urls → same metadata on re-evaluation
+    // determinism: same urls → same features on re-evaluation (binary
+    // columns compared by content, not array identity)
+    def canon(r: org.apache.spark.sql.Row): String =
+      r.toSeq.map {
+        case b: Array[Byte] => b.map("%02x".format(_)).mkString
+        case v => String.valueOf(v)
+      }.mkString("|")
     val again = Multimodal.mediaFeatures(media).orderBy("url").collect()
-    assert(f.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    assert(f.map(canon).toSeq === again.map(canon).toSeq)
   }
 }
