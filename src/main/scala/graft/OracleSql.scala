@@ -62,6 +62,18 @@ object OracleSql {
   /** The GPS stream CTE (twin of Tables.gps). */
   val gpsCte: String = graft.sources.Tables.gpsCte.stripPrefix("WITH ")
 
+  /** Twin of Docs.md5Long applied to a PRE-COMPUTED md5 hex string `hx`:
+    * first 15 hex chars parsed base-16 as exact BIGINT arithmetic (DuckDB
+    * has no conv(); 16^14 exceeds exact DOUBLE so every power is a BIGINT
+    * literal). `hx` should be a cheap reference (a lambda variable or CTE
+    * column) — it is referenced 15 times.
+    */
+  def hexToLongSql(hx: String): String =
+    (0 until 15).map { k =>
+      val pow = java.math.BigInteger.valueOf(16).pow(14 - k).longValueExact()
+      s"(CAST(strpos('0123456789abcdef', substr($hx, ${k + 1}, 1)) AS BIGINT) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
   /** CTE chain computing the S2 cell id of ($latE, $lonE) at `level` for
     * every row of `srcRel` — the textual twin of S2.cellId, same operation
     * order throughout: radians as (x/18e1*pi()), xyz products, dominant-axis

@@ -415,6 +415,11 @@ object SparkEntry {
     "doc_lang" -> ((s, d) => Docs.langScores(Tables.documents(s, d))),
     "doc_minhash" -> ((s, d) =>
       Docs.minHashCandidates(Docs.minHashSignature(Tables.documents(s, d)))),
+    "doc_minhash_md5" -> ((s, d) =>
+      // the minhash→band→bucket-cap→pair mechanics under an EXACT oracle:
+      // md5-based permutations that DuckDB recomputes bit-identically (the
+      // xxhash64 production path above stays rows-only)
+      Docs.minHashMd5Candidates(Docs.minHashMd5Signature(Tables.documents(s, d)))),
     "doc_simhash" -> ((s, d) => Docs.simHash(Tables.documents(s, d))),
     "doc_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1090,6 +1095,48 @@ object SparkEntry {
           |FROM pairs p
           |JOIN sh sa ON p.doc_a = sa.doc_id
           |JOIN sh sb ON p.doc_b = sb.doc_id""".stripMargin,
+
+      "doc_minhash_md5" -> {
+        val h2l = OracleSql.hexToLongSql("h")
+        val mhCols = (0 until 4).map { i =>
+          s"""  coalesce(list_aggregate(list_transform(
+             |    list_transform(s, x -> md5('$i|' || x)), h -> $h2l), 'min'),
+             |    9223372036854775807) AS mh_$i""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toksd AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+           |),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(t) >= 3
+           |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
+           |      ELSE [] END) AS s
+           |  FROM toksd
+           |),
+           |mh AS (
+           |  SELECT doc_id,
+           |$mhCols
+           |  FROM sh
+           |),
+           |bnd AS (
+           |  SELECT doc_id, 0 AS band_idx,
+           |    md5(CAST(mh_0 AS VARCHAR) || ',' || CAST(mh_1 AS VARCHAR)) AS h FROM mh
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band_idx,
+           |    md5(CAST(mh_2 AS VARCHAR) || ',' || CAST(mh_3 AS VARCHAR)) AS h FROM mh
+           |),
+           |bandsT AS (SELECT doc_id, band_idx, $h2l AS band_hash FROM bnd),
+           |sizes AS (SELECT band_idx, band_hash, count(*) AS n FROM bandsT GROUP BY 1, 2),
+           |ok AS (
+           |  SELECT b.doc_id, b.band_idx, b.band_hash
+           |  FROM bandsT b JOIN sizes s2 ON b.band_idx = s2.band_idx AND b.band_hash = s2.band_hash
+           |  WHERE s2.n <= 100
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+           |FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |  AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2""".stripMargin
+      },
 
       "emb_norms" ->
         """SELECT vec_id, label,

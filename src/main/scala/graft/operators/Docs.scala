@@ -122,6 +122,58 @@ object Docs {
       .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
 
+  /** md5-as-integer: first 15 hex chars (60 bits — fits a signed BIGINT in
+    * both engines) of md5, parsed base-16. Portable: DuckDB recomputes it
+    * exactly, so the full minhash→band→bucket→pair mechanics can run under
+    * an exact oracle (the production path keeps the compiled xxhash64
+    * kernel, which DuckDB cannot re-express).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Oracle-expressible MinHash: `numHashes` permutations, permutation i of
+    * a shingle s = md5Long("i|" ++ s); signature element = min over the
+    * doc's distinct 3-gram shingles (Long.MaxValue for docs with < 3
+    * tokens — same sentinel both engines).
+    */
+  def minHashMd5Signature(docs: DataFrame, numHashes: Int = 4): DataFrame = {
+    val withSh = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
+    val sigCols = (0 until numHashes).map { i =>
+      aggregate(
+        transform(col("sh"), s => md5Long(concat(lit(s"$i|"), s))),
+        lit(Long.MaxValue), (acc, v) => least(acc, v)).as(s"mh_$i")
+    }
+    withSh.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** LSH banding + bucket cap + candidate pairing over the md5 signatures —
+    * identical mechanics to [[minHashCandidates]] (band hash over the band's
+    * signature slice, buckets above maxBucket dropped, doc_a < doc_b pairs)
+    * with every hash DuckDB-recomputable. Output adds n_shared_bands for a
+    * tighter pin. Bands of 2 hashes each.
+    */
+  def minHashMd5Candidates(signatures: DataFrame, numHashes: Int = 4,
+                           maxBucket: Int = 100): DataFrame = {
+    val bands = numHashes / 2
+    val bandCols = (0 until bands).map { b =>
+      md5Long(concat_ws(",",
+        col(s"mh_${2 * b}").cast("string"), col(s"mh_${2 * b + 1}").cast("string")))
+    }
+    val rows = signatures.select(
+      col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val sizes = rows.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
+    val ok = rows.join(sizes.where(col("bucket_n") <= maxBucket), Seq("band_idx", "band_hash"))
+      .select("doc_id", "band_idx", "band_hash")
+    ok.as("a").join(ok.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs (verification stage
     * after LSH, or direct for small sets).
     */

@@ -83,4 +83,28 @@ class DocsSpec extends SparkSpec {
     val s = Docs.langScores(docs).where(col("doc_id") === 3).head
     assert(s.getAs[Long]("score_de") > s.getAs[Long]("score_en"))
   }
+
+  test("md5 minhash: identical docs share the full signature and all bands") {
+    val d = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val sig = Docs.minHashMd5Signature(d).orderBy("doc_id").collect()
+    assert(sig(0).toSeq.tail === sig(1).toSeq.tail)   // same text → same sig
+    assert(sig(0).toSeq.tail !== sig(2).toSeq.tail)
+    val cand = Docs.minHashMd5Candidates(Docs.minHashMd5Signature(d))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cand === Set((1L, 2L, 2L))) // both bands shared, no cross pair
+  }
+
+  test("cappedBuckets surfaces exactly the buckets minHashCandidates drops") {
+    // 5 identical docs → every band bucket holds 5; with maxBucket=3 the
+    // pairing drops them all and cappedBuckets reports them
+    val d = (1L to 5L).map(i => (i, "same text here repeated tokens ok")).toDF("doc_id", "text")
+    val sigs = Docs.minHashSignature(d)
+    assert(Docs.minHashCandidates(sigs, maxBucket = 3).count() === 0L)
+    val capped = Docs.cappedBuckets(sigs, maxBucket = 3).collect()
+    assert(capped.nonEmpty)
+    capped.foreach(r => assert(r.getAs[Long]("bucket_n") === 5L))
+    // and with the cap above the bucket size the pairs reappear
+    assert(Docs.minHashCandidates(sigs, maxBucket = 10).count() === 10L) // C(5,2)
+  }
 }
