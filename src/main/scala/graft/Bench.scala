@@ -38,6 +38,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // external-load indicator sampled BEFORE we start consuming cores
+    // (idle% during the run necessarily includes our own usage)
+    val loadBefore =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
 
     val t0Ticks = cpuTicks()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -68,7 +73,7 @@ object Bench {
     val allRuns = names.map { case (k, _) =>
       s"\"" + k + "\":" + runs(k).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"aggregation":"median","idle_pct":${f"$idlePct%.1f"},"heap_gb":${f"$heapGb%.1f"},"cpus":$cpus,"runs":$allRuns}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"aggregation":"median","idle_pct":${f"$idlePct%.1f"},"loadavg_before":${f"$loadBefore%.2f"},"heap_gb":${f"$heapGb%.1f"},"cpus":$cpus,"runs":$allRuns}""")
     spark.stop()
   }
 }

@@ -85,6 +85,28 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** Pure-CPU control (no shuffle, no strings): sum(sin(id)) over a range.
+    * Its N→4N efficiency pins what the HOST could deliver at measurement
+    * time — a same-session ceiling the job efficiency is judged against.
+    */
+  def cpuControlAt(cores: Int, n: Long): Double = {
+    val spark = buildSession(cores)
+    try {
+      spark.range(n / 4).selectExpr("sum(sin(id))").head // warm-up
+      val t0 = System.nanoTime()
+      spark.range(n).selectExpr("sum(sin(id))").head
+      (System.nanoTime() - t0) / 1e9
+    } finally spark.stop()
+  }
+
+  /** (idleTicks, totalTicks) from /proc/stat — external-load stamp. */
+  def cpuTicks(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      (f(3) + f(4), f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
   // ---------------------------------------------------------------------
   // Skew demo (SURVEY §7.3-5): a Zipf-skewed shuffle join where AQE's skew
   // split CANNOT help — the join output's hashpartitioning(cell) is reused
@@ -163,9 +185,20 @@ object ScalingBench {
     // the sandbox host is noisy (variable steal time), so interleave the two
     // parallelism levels and take medians — noise then hits both equally
     val rounds = if (args.length > 4) args(4).toInt else 3
+    val loadBefore =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val (i0, t0) = cpuTicks()
     val samples = (1 to rounds).map { _ =>
       (timeAt(small, sfDir, repl), timeAt(big, sfDir, repl))
     }
+    // same-session pure-CPU control at both core counts (interleaved too)
+    val ctrlN = 1500000000L
+    val ctrl = (1 to rounds).map { _ =>
+      (cpuControlAt(small, ctrlN), cpuControlAt(big, ctrlN))
+    }
+    val (i1, t1) = cpuTicks()
+    val idlePct = if (t1 > t0) 100.0 * (i1 - i0).toDouble / (t1 - t0).toDouble else -1.0
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val n1 = samples.head._1._1
     val n2 = samples.head._2._1
@@ -175,9 +208,13 @@ object ScalingBench {
     val thrSmall = n1 / tSmall
     val thrBig   = n2 / tBig
     val eff = (tSmall / tBig) / (big.toDouble / small)
+    val cEff = (med(ctrl.map(_._1)) / med(ctrl.map(_._2))) / (big.toDouble / small)
     println(f"""{"metric":"scaling","pages":$n1,"cores_small":$small,"cores_big":$big,""" +
       f""""sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
       f""""pages_per_sec_small":$thrSmall%.0f,"pages_per_sec_big":$thrBig%.0f,""" +
-      f""""speedup":${tSmall / tBig}%.2f,"efficiency":$eff%.3f,"sf":"$sfDir"}""")
+      f""""speedup":${tSmall / tBig}%.2f,"efficiency":$eff%.3f,""" +
+      f""""control_sec_small":${med(ctrl.map(_._1))}%.2f,"control_sec_big":${med(ctrl.map(_._2))}%.2f,""" +
+      f""""control_efficiency":$cEff%.3f,"idle_pct":$idlePct%.1f,"loadavg_before":$loadBefore%.2f,""" +
+      f""""sf":"$sfDir"}""")
   }
 }

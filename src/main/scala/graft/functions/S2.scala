@@ -133,10 +133,30 @@ object S2 {
     (n << (shift + 1)) | (1L << shift)
   }
 
-  /** The codec entry point: (lat°, lon°) → S2 cell id at `level`. */
+  /** The codec entry point: (lat°, lon°) → S2 cell id at `level`.
+    * Allocation-free (no tuples) — this runs per row in the hot encode path.
+    * Semantics identical to faceUvFromXyz/faceUv (same ties, same order).
+    */
   def cellId(lat: Double, lon: Double, level: Int): Long = {
-    val (f, u, v) = faceUv(lat, lon)
-    fromFaceIJ(f, stToIj(uvToSt(u), level), stToIj(uvToSt(v), level), level)
+    val phi = lat / 180.0 * math.Pi
+    val theta = lon / 180.0 * math.Pi
+    val cosphi = math.cos(phi)
+    val x = cosphi * math.cos(theta)
+    val y = cosphi * math.sin(theta)
+    val z = math.sin(phi)
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    var face = 0; var u = 0.0; var v = 0.0
+    if (ax >= ay && ax >= az) {
+      if (x >= 0) { face = 0; u = y / x; v = z / x }
+      else { face = 3; u = z / x; v = y / x }
+    } else if (ay >= az) {
+      if (y >= 0) { face = 1; u = -x / y; v = z / y }
+      else { face = 4; u = z / y; v = -x / y }
+    } else {
+      if (z >= 0) { face = 2; u = -x / z; v = -y / z }
+      else { face = 5; u = -y / z; v = -x / z }
+    }
+    fromFaceIJ(face, stToIj(uvToSt(u), level), stToIj(uvToSt(v), level), level)
   }
 
   def level(id: Long): Int = MaxLevel - (java.lang.Long.numberOfTrailingZeros(id) >> 1)

@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedFull === brute)
   }
 
+  test("codebook cache: second call skips training, identical codebook") {
+    val corpus = (0L until 200L).map { i =>
+      (i, vec((0 until 8).map(d => math.sin(i * 8 + d + 1).toDouble): _*))
+    }.toDF("vec_id", "embedding")
+    // unique per run so a persisted codebook from an earlier test JVM can't
+    // turn the first call into a file hit
+    val key = s"spec-corpus-${System.nanoTime()}"
+    val before = Similarity.trainings.get()
+    val cb1 = Similarity.trainCentroidsCached(corpus, dim = 8, nCells = 4, corpusKey = key,
+      maxSample = 100, iters = 2)
+    assert(Similarity.trainings.get() === before + 1) // trained once
+    val cb2 = Similarity.trainCentroidsCached(corpus, dim = 8, nCells = 4, corpusKey = key,
+      maxSample = 100, iters = 2)
+    assert(Similarity.trainings.get() === before + 1) // second call: cache hit
+    assert(cb1 === cb2)
+  }
+
   test("top-k shuffle is bounded: Partial WindowGroupLimit below the exchange") {
     // Spark's InferWindowGroupLimit must kick in for the rank<=k filter so
     // each map partition forwards at most k rows per query — the scored
