@@ -349,4 +349,154 @@ object OracleSql {
        |     END) * 1000000) AS midpoint
        |  FROM (SELECT *, epoch_us(time_in) + duration * 500000 AS mu FROM durs) t
        |)""".stripMargin
+
+  // -----------------------------------------------------------------------
+  // Exact-oracle twins for the document-hash and ANN probe mechanics
+  // -----------------------------------------------------------------------
+
+  /** Left fold Σx over a DuckDB list expression with init 0.0 — the textual
+    * twin of Spark's `aggregate(xs, lit(0.0), acc + x)`: list_reduce is a
+    * sequential fold, so the additions associate identically and the result
+    * is bit-for-bit the same double.
+    */
+  def foldSumSql(items: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $items), (acc, x) -> acc + x)"
+
+  /** Twin of Similarity.dot(emb, literal array) — products in index order,
+    * then the left-fold sum. `bLit` must be a DuckDB list literal.
+    */
+  def dotLitSql(a: String, bLit: String): String =
+    foldSumSql(s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * ($bLit)[i])")
+
+  /** Twin of Similarity.l2Norm's inner sum (squares in order, left fold). */
+  def normSqSql(a: String): String =
+    foldSumSql(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+  /** Twin of the emb_ivf_fixed query: the full IVF pipeline — argmax cell
+    * assignment against a literal integer codebook (ties → higher cell id,
+    * matching Spark's array_max over struct(s, c)), per-query top-`nProbe`
+    * probe cells (ties → higher id, matching reverse(array_sort)), exact
+    * cosine rerank inside probed cells, rank = row_number by (cosine DESC,
+    * vec_id). Centroid norms are exact integers so sqrt is identical on
+    * both engines; vector sums share Spark's fold order via list_reduce.
+    */
+  def embIvfFixedSql(codebook: Seq[(Int, Seq[Double])], nProbe: Int, k: Int,
+                     queryMod: Int): String = {
+    val n = codebook.size
+    def centLit(v: Seq[Double]): String =
+      v.map(x => s"${x.toLong}e0").mkString("[", ", ", "]")
+    def cosLit(e: String, v: Seq[Double]): String = {
+      val ss = v.map(x => x * x).sum.toLong // exact: small integers
+      s"(${dotLitSql(e, centLit(v))} / (sqrt(${normSqSql(e)}) * sqrt(${ss}e0)))"
+    }
+    val sCols = codebook.map { case (c, v) =>
+      s"    ${cosLit("embedding", v)} AS s$c" }.mkString(",\n")
+    // highest index wins ties, same as array_max over struct(s, c)
+    val cellCase = (n - 1).to(1, -1).map { c =>
+      val others = (0 until c).map(i => s"s$i").mkString(", ")
+      val ge = if (c == 1) s"s1 >= s0" else s"s$c >= greatest($others)"
+      s"WHEN $ge THEN $c"
+    }.mkString(" ") + " ELSE 0"
+    val qflat = (0 until n).map(c =>
+      s"  SELECT query_id, q_emb, $c AS c, s$c AS s FROM qs").mkString("\n  UNION ALL\n")
+    val qcos =
+      s"(${foldSumSql("list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE))")} " +
+        s"/ (sqrt(${normSqSql("e.embedding")}) * sqrt(${normSqSql("p.q_emb")})))"
+    s"""WITH sc AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |$sCols
+       |  FROM embeddings
+       |),
+       |cells AS (
+       |  SELECT vec_id, embedding, CASE $cellCase END AS ivf_cell FROM sc
+       |),
+       |qs AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, ${codebook.map(c => s"s${c._1}").mkString(", ")}
+       |  FROM sc WHERE vec_id % $queryMod = 0
+       |),
+       |qflat AS (
+       |$qflat
+       |),
+       |probes AS (
+       |  SELECT query_id, q_emb, c AS ivf_cell FROM (
+       |    SELECT query_id, q_emb, c,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, c DESC) AS rn
+       |    FROM qflat) t WHERE rn <= $nProbe
+       |),
+       |cand AS (
+       |  SELECT p.query_id, e.vec_id, $qcos AS cosine
+       |  FROM probes p JOIN cells e ON p.ivf_cell = e.ivf_cell
+       |  WHERE e.vec_id <> p.query_id
+       |)
+       |SELECT query_id, vec_id, rank FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand) t WHERE rank <= $k""".stripMargin
+  }
+
+  /** Twin of the emb_lsh_fixed query: single-table hyperplane LSH over a
+    * literal integer plane matrix — signature bits from exact-ordered dot
+    * folds (disjoint bit values, SUM ≡ Spark's OR fold), bucket equi-join,
+    * exact cosine rerank, rank by (cosine DESC, vec_id).
+    */
+  def embLshFixedSql(planes: Seq[Seq[Double]], k: Int, queryMod: Int): String = {
+    def planeLit(v: Seq[Double]): String =
+      v.map(x => s"${x.toLong}e0").mkString("[", ", ", "]")
+    val bitTerms = planes.zipWithIndex.map { case (p, b) =>
+      s"    (CASE WHEN ${dotLitSql("embedding", planeLit(p))} > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" +\n")
+    val qcos =
+      s"(${foldSumSql("list_transform(range(1, len(s.embedding) + 1), i -> CAST(s.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))")} " +
+        s"/ (sqrt(${normSqSql("s.embedding")}) * sqrt(${normSqSql("q.q_emb")})))"
+    s"""WITH sig AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |$bitTerms AS bucket
+       |  FROM embeddings
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, bucket
+       |  FROM sig WHERE vec_id % $queryMod = 0
+       |),
+       |cand AS (
+       |  SELECT q.query_id, s.vec_id, $qcos AS cosine
+       |  FROM q JOIN sig s ON q.bucket = s.bucket
+       |  WHERE s.vec_id <> q.query_id
+       |)
+       |SELECT query_id, vec_id, rank FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand) t WHERE rank <= $k""".stripMargin
+  }
+
+  /** Twin of Docs.simHashMd5: tokenize, md5Long per token occurrence,
+    * per-bit ±1 sign sums over bits 0..59, pack positives (disjoint bit
+    * values, so SUM ≡ the bitwise-OR fold Spark uses).
+    */
+  val simHashMd5Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+       |),
+       |mh AS MATERIALIZED (SELECT doc_id, md5(tok) AS hx FROM toks),
+       |h AS (SELECT doc_id, ${hexToLongSql("hx")} AS hv FROM mh),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+       |  GROUP BY doc_id, b
+       |)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash_md5
+       |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** Twin of Docs.fingerprintMod: per-character base-31 polynomial rolling
+    * hash mod 1e9+7, folded left-to-right (list_reduce with a prepended 0
+    * init, exactly Spark's aggregate(chars, 0, pmod(acc·31 + c, p))).
+    */
+  val fingerprintModSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1),
+      |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+      |    (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint_mod
+      |FROM documents""".stripMargin
 }

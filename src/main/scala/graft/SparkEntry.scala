@@ -421,6 +421,15 @@ object SparkEntry {
       // xxhash64 production path above stays rows-only)
       Docs.minHashMd5Candidates(Docs.minHashMd5Signature(Tables.documents(s, d)))),
     "doc_simhash" -> ((s, d) => Docs.simHash(Tables.documents(s, d))),
+    "doc_simhash_md5" -> ((s, d) =>
+      // sign-sum SimHash mechanics under the EXACT oracle (md5 per-token
+      // hash both engines recompute); doc_simhash above keeps the xxhash64
+      // production kernel (rows-only check)
+      Docs.simHashMd5(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) =>
+      // rolling-hash fingerprint mechanics mod 1e9+7 (DuckDB traps on the
+      // wrapping-Long variant; Docs.fingerprint stays the production path)
+      Docs.fingerprintMod(Tables.documents(s, d))),
     "doc_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // materialize signatures and shingles once — both are consumed by
@@ -478,6 +487,26 @@ object SparkEntry {
       Similarity.lshTopK(e, e.where(col("vec_id") % 100 === 0), dim = 64, bits = 4, k = 5,
         tables = 8)
         .select("query_id", "vec_id", "rank")
+    }),
+    "emb_ivf_fixed" -> ((s, d) => {
+      // the complete IVF probe pipeline (cell argmax-assign → nProbe probe
+      // equi-join → exact cosine rerank → bounded top-k) under the EXACT
+      // oracle: the codebook is a literal small-integer matrix both engines
+      // share, so assignments, probes and rank order are reproducible
+      // bit-for-bit; emb_ivf above keeps the trained production codebook
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.where(col("vec_id") % 100 === 0), dim = 64, nCells = 4,
+        nProbe = 2, k = 3, codebook = Some(Similarity.fixedIntCodebook(64, 4)))
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+    "emb_lsh_fixed" -> ((s, d) => {
+      // LSH mechanics (hyperplane signature → bucket equi-join → exact
+      // rerank → bounded top-k) under the EXACT oracle via integer
+      // hyperplanes; emb_lsh above keeps the LCG production planes
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopKFixed(e, e.where(col("vec_id") % 100 === 0),
+        Similarity.fixedIntPlanes(64, 4), k = 3)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     })
   )
 
@@ -1156,7 +1185,13 @@ object SparkEntry {
           |  WHERE e.vec_id <> q.query_id
           |)
           |SELECT query_id, vec_id, round(cosine, 4) AS cosine
-          |FROM pairs WHERE cosine >= 0.3e0""".stripMargin
+          |FROM pairs WHERE cosine >= 0.3e0""".stripMargin,
+      "doc_simhash_md5" -> OracleSql.simHashMd5Sql,
+      "doc_fingerprint" -> OracleSql.fingerprintModSql,
+      "emb_ivf_fixed" -> OracleSql.embIvfFixedSql(
+        Similarity.fixedIntCodebook(64, 4), nProbe = 2, k = 3, queryMod = 100),
+      "emb_lsh_fixed" -> OracleSql.embLshFixedSql(
+        Similarity.fixedIntPlanes(64, 4), k = 3, queryMod = 100)
     )
   }
 }

@@ -216,6 +216,25 @@ object Docs {
     docs.select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** md5-variant SimHash (oracle twin of [[simHash]]): identical
+    * tokenize→hash→sign-sum→pack mechanics with the per-token hash swapped
+    * to [[md5Long]] (60 bits), so DuckDB recomputes the whole chain exactly.
+    * The xxhash64 path above stays the production kernel (rows-only check).
+    */
+  def simHashMd5(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val hashes = transform(toks, t => md5Long(t))
+    val zeros = array_repeat(lit(0L), 60)
+    val counters = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(59)),
+        (a, b) => a + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    val packed = aggregate(
+      zip_with(counters, sequence(lit(0), lit(59)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    docs.select(col("doc_id"), packed.as("simhash_md5"))
+  }
+
   /** Language-ID heuristic: per-language stopword occurrence score from
     * substring counts (pure arithmetic — oracle-expressible); argmax wins.
     */
@@ -265,5 +284,21 @@ object Docs {
       lit(0L),
       (acc, c) => acc * 31L + ascii(c).cast("long"))
     docs.select(col("doc_id"), poly.as("fingerprint"))
+  }
+
+  /** Oracle-expressible fingerprint twin: the same base-31 polynomial
+    * rolling hash confined to Z_p (p = 1e9+7). The wrapping-Long production
+    * variant above cannot run under the DuckDB gate (DuckDB BIGINT traps on
+    * overflow where the JVM wraps); the mod-p variant pins identical
+    * per-character fold mechanics exactly. acc < p ≈ 2^30, so
+    * acc·31 + char < 2^36 — no overflow on either engine.
+    */
+  def fingerprintMod(docs: DataFrame, p: Long = 1000000007L): DataFrame = {
+    val chars = split(col("text"), "")
+    val poly = aggregate(
+      filter(chars, c => length(c) > 0),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(p)))
+    docs.select(col("doc_id"), poly.as("fingerprint_mod"))
   }
 }

@@ -60,11 +60,43 @@ object Similarity {
         (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
       }
     }
+    planeSignature(emb, planes)
+  }
+
+  /** Signature from EXPLICIT hyperplanes: bit b set iff dot(v, planes(b)) > 0.
+    * [[hyperplaneSignature]] delegates here with LCG planes; the oracle twin
+    * uses [[fixedIntPlanes]] so DuckDB recomputes the signature exactly.
+    */
+  def planeSignature(emb: Column, planes: Seq[Seq[Double]]): Column = {
     val bitCols: Seq[Column] = planes.zipWithIndex.map { case (p, b) =>
       val d = dot(emb, array(p.map(lit): _*))
       when(d > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce((a: Column, c: Column) => a.bitwiseOR(c))
+  }
+
+  /** Small integer hyperplanes for the exact-oracle LSH twin (same
+    * trig-free rationale as [[fixedIntCodebook]]).
+    */
+  def fixedIntPlanes(dim: Int, bits: Int): Seq[Seq[Double]] =
+    (0 until bits).map(b => (0 until dim).map(d => ((b * 53 + d * 29) % 11 - 5).toDouble))
+
+  /** Single-table LSH with explicit hyperplanes — the exact-oracle path of
+    * [[lshTopK]]: identical bucket equi-join + exact rerank + bounded top-k
+    * mechanics, with the signature reproducible bit-for-bit in SQL.
+    */
+  def lshTopKFixed(corpus: DataFrame, queries: DataFrame, planes: Seq[Seq[Double]],
+                   k: Int): DataFrame = {
+    val sigC = corpus.withColumn("bucket", planeSignature(col("embedding"), planes))
+    val sigQ = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", planeSignature(col("q_emb"), planes))
+    sigC.join(broadcast(sigQ), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rank")
   }
 
   /** IVF-style ANN: corpus is partitioned into `nCells` Voronoi cells of
@@ -81,6 +113,15 @@ object Similarity {
       c -> (0 until dim).map { _ => s = lcg(s); (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0 }
     }
   }
+
+  /** Small integer-valued codebook for the exact-oracle IVF twin: every
+    * centroid component is an exact small integer (|w| ≤ 6), so centroid
+    * norms are exact in double on both engines and no libm trig call (whose
+    * last-ulp can differ between the JVM and DuckDB) enters the argmax.
+    */
+  def fixedIntCodebook(dim: Int, nCells: Int): Seq[(Int, Seq[Double])] =
+    (0 until nCells).map(c =>
+      c -> (0 until dim).map(d => ((c * 67 + d * 31) % 13 - 6).toDouble))
 
   /** Train an IVF codebook by spherical k-means (Lloyd) over a DETERMINISTIC
     * sample of the corpus — every stride-th vec_id, no RNG, resume-safe.

@@ -79,6 +79,26 @@ class DocsSpec extends SparkSpec {
     assert(fp(1L) === (97L * 31 * 31 + 98L * 31 + 99L))
   }
 
+  test("fingerprintMod matches the wrapping variant below p and stays in Z_p") {
+    val fp = Docs.fingerprintMod(docs.select(col("doc_id"), col("text")))
+      .as[(Long, Long)].collect().toMap
+    // "abc"-style short strings never exceed p, so mod-p == wrapping value
+    val short = Docs.fingerprintMod(Seq((9L, "abc")).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    assert(short(9L) === (97L * 31 * 31 + 98L * 31 + 99L))
+    assert(fp.values.forall(v => v >= 0L && v < 1000000007L))
+    assert(fp(1L) === fp(4L)) // same text, same fingerprint
+    assert(fp(1L) !== fp(2L))
+  }
+
+  test("simHashMd5: deterministic, near-dups closer in Hamming than cross-lang") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val h = Docs.simHashMd5(docs).as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(4L)) // identical text
+    assert((h(1L) & ~((1L << 60) - 1)) === 0L) // 60-bit hash
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L))) // one-word edit vs german
+  }
+
   test("language scores: the/der markers dominate for matching language") {
     val s = Docs.langScores(docs).where(col("doc_id") === 3).head
     assert(s.getAs[Long]("score_de") > s.getAs[Long]("score_en"))

@@ -54,6 +54,30 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedFull === brute)
   }
 
+  test("fixed-codebook IVF: full probe equals brute force; LSH buckets consistent") {
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(e, q, 3)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cb = Similarity.fixedIntCodebook(64, 4)
+    val full = Similarity.ivfTopK(e, q, dim = 64, nCells = 4, nProbe = 4, k = 3, Some(cb))
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute)
+    // fixed-plane LSH: every returned pair shares the query's bucket and
+    // per-query result count is bounded by k (exact values are the oracle's
+    // job — emb_lsh_fixed)
+    val planes = Similarity.fixedIntPlanes(64, 4)
+    val buckets = e.select(col("vec_id"),
+      Similarity.planeSignature(col("embedding"), planes).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lsh = Similarity.lshTopKFixed(e, q, planes, k = 3).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(buckets(r.getAs[Long]("query_id")) === buckets(r.getAs[Long]("vec_id")))
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3)
+    }
+  }
+
   test("codebook cache: second call skips training, identical codebook") {
     val corpus = (0L until 200L).map { i =>
       (i, vec((0 until 8).map(d => math.sin(i * 8 + d + 1).toDouble): _*))
