@@ -434,6 +434,78 @@ object OracleSql {
        |  FROM cand) t WHERE rank <= $k""".stripMargin
   }
 
+  /** Twin of the dbscan_distributed query — possible because every
+    * DistributedDbscan tie-break is canonical (min-uid component ids,
+    * min-comp border attach, min-uid label ranking), so the whole pipeline
+    * is order-independent and SQL-expressible:
+    * coordinate dedup with multiplicities → 3×3 eps-cell neighbor pairs
+    * (self-pair included, matching the weighted degree that counts self) →
+    * weighted-degree core flags → connected components over core-core
+    * eps-edges via a recursive min-label walk (labels only propagate
+    * downhill: `w.comp < e.a_uid` prunes without changing min) → border =
+    * min core-neighbor component → dense labels in component-min-uid order
+    * → per-label summary. `epsLit` must be an e-notation literal parsing to
+    * the same double Spark uses (5e-3 ≡ 0.005).
+    */
+  def dbscanSummarySql(epsLit: String, minSamples: Int): String =
+    s"""WITH RECURSIVE $gpsCte,
+       |pts AS (SELECT event_id AS id, lat, lon FROM gps),
+       |uniq AS MATERIALIZED (
+       |  SELECT lat, lon, min(id) AS uid, count(*) AS w,
+       |    CAST(floor(lat / $epsLit) AS BIGINT) AS cy,
+       |    CAST(floor(lon / $epsLit) AS BIGINT) AS cx
+       |  FROM pts GROUP BY lat, lon
+       |),
+       |offs AS (SELECT dy.d AS dy, dx.d AS dx FROM (VALUES (-1), (0), (1)) dy(d), (VALUES (-1), (0), (1)) dx(d)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.uid AS a_uid, b.uid AS b_uid, b.w AS b_w
+       |  FROM uniq a JOIN offs o ON true
+       |  JOIN uniq b ON b.cy = a.cy + o.dy AND b.cx = a.cx + o.dx
+       |  WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) <= ($epsLit * $epsLit)
+       |),
+       |core AS MATERIALIZED (
+       |  SELECT a_uid AS uid FROM pairs GROUP BY a_uid HAVING sum(b_w) >= $minSamples
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT p.a_uid, p.b_uid FROM pairs p
+       |  JOIN core c1 ON p.a_uid = c1.uid
+       |  JOIN core c2 ON p.b_uid = c2.uid
+       |  WHERE p.a_uid <> p.b_uid
+       |),
+       |walk AS (
+       |  SELECT uid, uid AS comp FROM core
+       |  UNION
+       |  SELECT e.a_uid AS uid, w.comp FROM edges e JOIN walk w ON w.uid = e.b_uid
+       |  WHERE w.comp < e.a_uid
+       |),
+       |comp AS MATERIALIZED (SELECT uid, min(comp) AS comp FROM walk GROUP BY uid),
+       |border AS (
+       |  SELECT p.a_uid AS uid, min(c.comp) AS comp
+       |  FROM pairs p
+       |  JOIN comp c ON p.b_uid = c.uid
+       |  LEFT JOIN core k ON p.a_uid = k.uid
+       |  WHERE k.uid IS NULL
+       |  GROUP BY p.a_uid
+       |),
+       |assigned AS MATERIALIZED (
+       |  SELECT uid, comp FROM comp UNION ALL SELECT uid, comp FROM border
+       |),
+       |ranked AS MATERIALIZED (
+       |  SELECT comp, CAST(row_number() OVER (ORDER BY cmin) - 1 AS BIGINT) AS label
+       |  FROM (SELECT comp, min(uid) AS cmin FROM assigned GROUP BY comp) t
+       |),
+       |coordlab AS MATERIALIZED (
+       |  SELECT u.lat, u.lon, coalesce(ar.label, -1) AS label
+       |  FROM uniq u
+       |  LEFT JOIN (SELECT a.uid, r.label FROM assigned a JOIN ranked r ON a.comp = r.comp) ar
+       |    ON u.uid = ar.uid
+       |)
+       |SELECT c.label, count(*) AS n_points, min(p.id) AS min_id, max(p.id) AS max_id,
+       |  CAST(sum(p.id) AS BIGINT) AS id_sum,
+       |  round(avg(p.lat), 4) AS centroid_lat, round(avg(p.lon), 4) AS centroid_lon
+       |FROM pts p JOIN coordlab c ON p.lat = c.lat AND p.lon = c.lon
+       |GROUP BY c.label""".stripMargin
+
   /** Twin of the emb_lsh_fixed query: single-table hyperplane LSH over a
     * literal integer plane matrix — signature bits from exact-ordered dot
     * folds (disjoint bit values, SUM ≡ Spark's OR fold), bucket equi-join,

@@ -225,7 +225,7 @@ object SparkEntry {
       val pts = Tables.gps(s, d).select(col("event_id").as("id"), col("lat"), col("lon"))
       operators.DistributedDbscan.run(pts, eps = 0.005, minSamples = 50)
         .join(pts, Seq("id"))
-        .groupBy("label")
+        .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_points"), min("id").as("min_id"), max("id").as("max_id"),
           sum("id").as("id_sum"),
           bround(avg("lat"), 4).as("centroid_lat"), bround(avg("lon"), 4).as("centroid_lon"))
@@ -1191,7 +1191,11 @@ object SparkEntry {
       "emb_ivf_fixed" -> OracleSql.embIvfFixedSql(
         Similarity.fixedIntCodebook(64, 4), nProbe = 2, k = 3, queryMod = 100),
       "emb_lsh_fixed" -> OracleSql.embLshFixedSql(
-        Similarity.fixedIntPlanes(64, 4), k = 3, queryMod = 100)
+        Similarity.fixedIntPlanes(64, 4), k = 3, queryMod = 100),
+      // the distributed-DBSCAN pipeline is fully canonical (min-uid
+      // components, min-comp border attach, min-uid label order), so the
+      // whole clustering — not just a summary — runs under the exact gate
+      "dbscan_distributed" -> OracleSql.dbscanSummarySql("5e-3", minSamples = 50)
     )
   }
 }
