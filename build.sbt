@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the small default. On a real cluster this is spark.executor.memory
   // sizing, not driver tuning.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // -Xms pinned to -Xmx: with a small initial heap the FIRST full-scale job
+  // in a session pays repeated heap-expansion full GCs (~2× wall-clock on
+  // the 10M-page run; TmpAB A/B evidence, round 3) — steady-state sizing
+  // from the start is the executor-memory posture a real cluster uses
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

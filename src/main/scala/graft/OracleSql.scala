@@ -540,6 +540,83 @@ object OracleSql {
        |  FROM cand) t WHERE rank <= $k""".stripMargin
   }
 
+  /** CTE chain of the md5-minhash banding twin (Docs.minHashMd5Signature +
+    * the banding/bucket-cap stages of minHashMd5Candidates), ending at
+    * `ok(doc_id, band_idx, band_hash)` — rows surviving the ≤100 bucket cap.
+    * Shared by doc_minhash_md5 (pair listing) and doc_dedup_minhash
+    * (connected-component cluster assignment).
+    */
+  val minHashMd5Ctes: String = {
+    val h2l = hexToLongSql("h")
+    val mhCols = (0 until 4).map { i =>
+      s"""  coalesce(list_aggregate(list_transform(
+         |    list_transform(s, x -> md5('$i|' || x)), h -> $h2l), 'min'),
+         |    9223372036854775807) AS mh_$i""".stripMargin
+    }.mkString(",\n")
+    s"""toksd AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
+       |      ELSE [] END) AS s
+       |  FROM toksd
+       |),
+       |mh AS (
+       |  SELECT doc_id,
+       |$mhCols
+       |  FROM sh
+       |),
+       |bnd AS (
+       |  SELECT doc_id, 0 AS band_idx,
+       |    md5(CAST(mh_0 AS VARCHAR) || ',' || CAST(mh_1 AS VARCHAR)) AS h FROM mh
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band_idx,
+       |    md5(CAST(mh_2 AS VARCHAR) || ',' || CAST(mh_3 AS VARCHAR)) AS h FROM mh
+       |),
+       |bandsT AS (SELECT doc_id, band_idx, $h2l AS band_hash FROM bnd),
+       |sizes AS (SELECT band_idx, band_hash, count(*) AS n FROM bandsT GROUP BY 1, 2),
+       |ok AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_hash
+       |  FROM bandsT b JOIN sizes s2 ON b.band_idx = s2.band_idx AND b.band_hash = s2.band_hash
+       |  WHERE s2.n <= 100
+       |)""".stripMargin
+  }
+
+  /** Candidate-pair listing over [[minHashMd5Ctes]]'s `ok` relation. */
+  val minHashMd5PairsSelect: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+      |FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |  AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Twin of the doc_dedup_minhash query: candidate pairs → connected
+    * components (same recursive downhill min-label walk as
+    * [[dbscanSummarySql]]) → per-cluster summary keyed by the min-doc_id
+    * representative.
+    */
+  val minHashDedupSql: String =
+    s"""WITH RECURSIVE $minHashMd5Ctes,
+       |cand AS MATERIALIZED (
+       |$minHashMd5PairsSelect
+       |),
+       |edgesd AS (
+       |  SELECT doc_a AS a_uid, doc_b AS b_uid FROM cand
+       |  UNION ALL SELECT doc_b AS a_uid, doc_a AS b_uid FROM cand
+       |),
+       |nodes AS (SELECT DISTINCT a_uid AS uid FROM edgesd),
+       |walk AS (
+       |  SELECT uid, uid AS comp FROM nodes
+       |  UNION
+       |  SELECT e.a_uid AS uid, w.comp FROM edgesd e JOIN walk w ON w.uid = e.b_uid
+       |  WHERE w.comp < e.a_uid
+       |),
+       |compd AS (SELECT uid, min(comp) AS comp FROM walk GROUP BY uid)
+       |SELECT comp AS rep, count(*) AS n_docs, max(uid) AS max_doc,
+       |  CAST(sum(uid) AS BIGINT) AS id_sum
+       |FROM compd GROUP BY comp""".stripMargin
+
   /** Twin of Docs.simHashMd5: tokenize, md5Long per token occurrence,
     * per-bit ±1 sign sums over bits 0..59, pack positives (disjoint bit
     * values, so SUM ≡ the bitwise-OR fold Spark uses).
@@ -558,6 +635,35 @@ object OracleSql {
        |SELECT doc_id,
        |  CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash_md5
        |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** Twin of Docs.winnowSummary: k-char-gram md5Long hashes (md5 computed
+    * once per gram via the nested transform), per-w-window minima, distinct
+    * count + min/max summary. Short texts yield empty lists → n_fp 0 and
+    * NULL min/max on both engines.
+    */
+  def winnowSql(k: Int, w: Int): String = {
+    val h2l = hexToLongSql("h")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= $k THEN
+       |      list_transform(
+       |        list_transform(range(1, length(text) - ${k - 2}), i -> md5(substring(text, i, $k))),
+       |        h -> $h2l)
+       |    ELSE [] END AS grams
+       |  FROM documents
+       |),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN len(grams) >= $w THEN
+       |      list_transform(range(1, len(grams) - ${w - 2}),
+       |        j -> list_aggregate(list_slice(grams, j, j + ${w - 1}), 'min'))
+       |    ELSE [] END AS fps
+       |  FROM g
+       |)
+       |SELECT doc_id, CAST(len(list_distinct(fps)) AS BIGINT) AS n_fp,
+       |  list_aggregate(fps, 'min') AS min_fp, list_aggregate(fps, 'max') AS max_fp
+       |FROM f""".stripMargin
+  }
 
   /** Twin of Docs.fingerprintMod: per-character base-31 polynomial rolling
     * hash mod 1e9+7, folded left-to-right (list_reduce with a prepended 0

@@ -421,6 +421,16 @@ object SparkEntry {
       // xxhash64 production path above stays rows-only)
       Docs.minHashMd5Candidates(Docs.minHashMd5Signature(Tables.documents(s, d)))),
     "doc_simhash" -> ((s, d) => Docs.simHash(Tables.documents(s, d))),
+    "doc_dedup_minhash" -> ((s, d) => {
+      // near-dup dedup END-TO-END under the exact oracle: md5 minhash →
+      // bands → capped buckets → candidate pairs → connected components →
+      // per-cluster summary keyed by the min-doc_id representative
+      val cands = Docs.minHashMd5Candidates(Docs.minHashMd5Signature(Tables.documents(s, d)))
+      Docs.nearDupClusters(cands)
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_docs"), max("doc_id").as("max_doc"),
+          sum("doc_id").as("id_sum"))
+    }),
     "doc_simhash_md5" -> ((s, d) =>
       // sign-sum SimHash mechanics under the EXACT oracle (md5 per-token
       // hash both engines recompute); doc_simhash above keeps the xxhash64
@@ -430,6 +440,8 @@ object SparkEntry {
       // rolling-hash fingerprint mechanics mod 1e9+7 (DuckDB traps on the
       // wrapping-Long variant; Docs.fingerprint stays the production path)
       Docs.fingerprintMod(Tables.documents(s, d))),
+    "doc_tokens" -> ((s, d) => Docs.tokenCounts(Tables.documents(s, d))),
+    "doc_winnow" -> ((s, d) => Docs.winnowSummary(Tables.documents(s, d))),
     "doc_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // materialize signatures and shingles once — both are consumed by
@@ -1125,47 +1137,10 @@ object SparkEntry {
           |JOIN sh sa ON p.doc_a = sa.doc_id
           |JOIN sh sb ON p.doc_b = sb.doc_id""".stripMargin,
 
-      "doc_minhash_md5" -> {
-        val h2l = OracleSql.hexToLongSql("h")
-        val mhCols = (0 until 4).map { i =>
-          s"""  coalesce(list_aggregate(list_transform(
-             |    list_transform(s, x -> md5('$i|' || x)), h -> $h2l), 'min'),
-             |    9223372036854775807) AS mh_$i""".stripMargin
-        }.mkString(",\n")
-        s"""WITH toksd AS (
-           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
-           |),
-           |sh AS (
-           |  SELECT doc_id,
-           |    list_distinct(CASE WHEN len(t) >= 3
-           |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
-           |      ELSE [] END) AS s
-           |  FROM toksd
-           |),
-           |mh AS (
-           |  SELECT doc_id,
-           |$mhCols
-           |  FROM sh
-           |),
-           |bnd AS (
-           |  SELECT doc_id, 0 AS band_idx,
-           |    md5(CAST(mh_0 AS VARCHAR) || ',' || CAST(mh_1 AS VARCHAR)) AS h FROM mh
-           |  UNION ALL
-           |  SELECT doc_id, 1 AS band_idx,
-           |    md5(CAST(mh_2 AS VARCHAR) || ',' || CAST(mh_3 AS VARCHAR)) AS h FROM mh
-           |),
-           |bandsT AS (SELECT doc_id, band_idx, $h2l AS band_hash FROM bnd),
-           |sizes AS (SELECT band_idx, band_hash, count(*) AS n FROM bandsT GROUP BY 1, 2),
-           |ok AS (
-           |  SELECT b.doc_id, b.band_idx, b.band_hash
-           |  FROM bandsT b JOIN sizes s2 ON b.band_idx = s2.band_idx AND b.band_hash = s2.band_hash
-           |  WHERE s2.n <= 100
-           |)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-           |FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           |  AND a.doc_id < b.doc_id
-           |GROUP BY 1, 2""".stripMargin
-      },
+      "doc_minhash_md5" ->
+        s"""WITH ${OracleSql.minHashMd5Ctes}
+           |${OracleSql.minHashMd5PairsSelect}""".stripMargin,
+      "doc_dedup_minhash" -> OracleSql.minHashDedupSql,
 
       "emb_norms" ->
         """SELECT vec_id, label,
@@ -1188,6 +1163,12 @@ object SparkEntry {
           |FROM pairs WHERE cosine >= 0.3e0""".stripMargin,
       "doc_simhash_md5" -> OracleSql.simHashMd5Sql,
       "doc_fingerprint" -> OracleSql.fingerprintModSql,
+      "doc_tokens" ->
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+           |  CAST(len(regexp_extract_all(text, '${Docs.BpeishPattern}')) AS BIGINT) AS n_bpe
+           |FROM documents""".stripMargin,
+      "doc_winnow" -> OracleSql.winnowSql(8, 4),
       "emb_ivf_fixed" -> OracleSql.embIvfFixedSql(
         Similarity.fixedIntCodebook(64, 4), nProbe = 2, k = 3, queryMod = 100),
       "emb_lsh_fixed" -> OracleSql.embLshFixedSql(

@@ -103,13 +103,22 @@ object DistributedDbscan {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val starEdges = uidRep.select(col("uid").as("a_uid"), col("rep").as("b_uid"))
       .where(col("a_uid") =!= col("b_uid"))
+    // BOTH directions of every rep-rep edge: the min-label loop below only
+    // propagates b→a, so a one-directional edge set would strand the min on
+    // one side of the pair (the driver union-find branch is direction-blind,
+    // which is why only the distributed branch needs this; pinned by the
+    // forced-distributed parity spec)
     val crossEdges = pairs
       .where(col("a_uid") < col("b_uid"))
       .join(uidRep.withColumnRenamed("uid", "a_uid").withColumnRenamed("rep", "repA"), Seq("a_uid"))
       .join(uidRep.withColumnRenamed("uid", "b_uid").withColumnRenamed("rep", "repB"), Seq("b_uid"))
       .where(col("repA") =!= col("repB"))
-      .select(col("repA").as("a_uid"), col("repB").as("b_uid"))
+      .select(least(col("repA"), col("repB")).as("lo"), greatest(col("repA"), col("repB")).as("hi"))
       .distinct()
+      .select(explode(array(
+        struct(col("lo").as("a_uid"), col("hi").as("b_uid")),
+        struct(col("hi").as("a_uid"), col("lo").as("b_uid")))).as("e"))
+      .select(col("e.a_uid").as("a_uid"), col("e.b_uid").as("b_uid"))
     val coreEdges = starEdges.unionByName(crossEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -141,34 +150,10 @@ object DistributedDbscan {
       val roots = core.select("uid").as[Long].collect().map(u => (u, find(u)))
       comp = roots.toSeq.toDF("uid", "comp")
     } else {
-      comp = core.select(col("uid"), col("uid").as("comp"))
-        .localCheckpoint(eager = true)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 50) {
-        val viaNeighbors = coreEdges
-          .join(comp.withColumnRenamed("uid", "b_uid").withColumnRenamed("comp", "nc"), Seq("b_uid"))
-          .groupBy(col("a_uid").as("uid"))
-          .agg(min("nc").as("minNc"))
-        // min-propagation + pointer-halving (comp ← comp(comp)) for
-        // O(log diameter) convergence; the round-start comp rides along as
-        // `old` so convergence is detectable from the checkpointed frame
-        // alone (no extra join job)
-        val prop = comp.join(viaNeighbors, Seq("uid"), "left")
-          .select(col("uid"), col("comp").as("old"),
-            least(col("comp"), coalesce(col("minNc"), col("comp"))).as("comp"))
-        val halved = prop.as("p")
-          .join(prop.select(col("uid").as("comp"), col("comp").as("cc")).as("m"), Seq("comp"), "left")
-          .select(col("uid"), col("old"),
-            least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
-          .localCheckpoint(eager = true)
-        iter += 1
-        // probe convergence every 2nd round only — a cheap scan over the
-        // local checkpoint, half as many probe jobs as checking every round
-        if (iter % 2 == 0 || iter >= 50)
-          converged = halved.where(col("comp") =!= col("old")).count() == 0L
-        comp = halved.select("uid", "comp")
-      }
+      // shared min-label + pointer-halving kernel; coreEdges carries both
+      // directions of every rep-rep edge (see crossEdges above), star edges
+      // only need rep → member flow since rep = cell minimum
+      comp = Components.minLabel(core.select("uid"), coreEdges)
     }
 
     // 4. border coords: smallest component among core neighbors

@@ -174,6 +174,23 @@ object Docs {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Near-dup cluster assignment — the final stage of the MinHash dedup
+    * pipeline: connected components over candidate pairs, each cluster
+    * keyed by its minimum doc_id (the kept representative). Pairs are
+    * symmetrized here; the component loop is the shared
+    * [[Components.minLabel]] kernel. Returns (doc_id, rep) for every doc
+    * that appears in at least one candidate pair.
+    */
+  def nearDupClusters(cands: DataFrame): DataFrame = {
+    val edges = cands.select(explode(array(
+        struct(col("doc_a").as("a_uid"), col("doc_b").as("b_uid")),
+        struct(col("doc_b").as("a_uid"), col("doc_a").as("b_uid")))).as("e"))
+      .select(col("e.a_uid").as("a_uid"), col("e.b_uid").as("b_uid"))
+    val nodes = edges.select(col("a_uid").as("uid")).distinct()
+    Components.minLabel(nodes, edges)
+      .select(col("uid").as("doc_id"), col("comp").as("rep"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs (verification stage
     * after LSH, or direct for small sets).
     */
@@ -284,6 +301,49 @@ object Docs {
       lit(0L),
       (acc, c) => acc * 31L + ascii(c).cast("long"))
     docs.select(col("doc_id"), poly.as("fingerprint"))
+  }
+
+  /** Token counts: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / punctuation runs, each absorbing one
+    * leading space — the GPT-2 pre-tokenizer shape without the contraction
+    * special cases). The alternation branches are first-char disjoint, so
+    * leftmost-first (Java) and RE2 (DuckDB) agree on every match.
+    */
+  val BpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+      size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).cast("long").as("n_bpe"))
+
+  /** Winnowing fingerprint summary (the MOSS scheme): hash every k-char
+    * gram, take the minimum of each w-gram window, keep the distinct
+    * minima — the standard near-dup fingerprint set whose size is
+    * ~2/(w+1) of the grams. Grams are materialized as their own projection
+    * before the window pass (a lambda referencing an outer expression
+    * re-evaluates it PER ELEMENT — the O(n²) HOF trap). Summary per doc:
+    * distinct-fingerprint count and min/max fingerprint (null when the
+    * text is shorter than k + w − 1).
+    */
+  def winnowSummary(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val n = length(col("text"))
+    val gramsExpr = when(n >= k,
+      transform(sequence(lit(1), n - lit(k - 1)), i =>
+        md5Long(col("text").substr(i, lit(k)))))
+      .otherwise(array().cast("array<long>"))
+    val withG = docs.select(col("doc_id"), gramsExpr.as("grams"))
+    val m = size(col("grams"))
+    val fpsExpr = when(m >= w,
+      transform(sequence(lit(1), m - lit(w - 1)), j =>
+        aggregate(slice(col("grams"), j, lit(w)), lit(Long.MaxValue),
+          (acc, v) => least(acc, v))))
+      .otherwise(array().cast("array<long>"))
+    withG.select(col("doc_id"), fpsExpr.as("fps"))
+      .select(col("doc_id"),
+        size(array_distinct(col("fps"))).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
   }
 
   /** Oracle-expressible fingerprint twin: the same base-31 polynomial

@@ -28,6 +28,19 @@ object Streams {
       .agg(avg("lat").as("lat"), avg("lon").as("lon"), count(lit(1)).as("n_points"))
       .select(col("user_id"), col("window.start").as("ts"), col("lat"), col("lon"), col("n_points"))
 
+  /** Streaming exact dedup over a document stream: drop repeats of the same
+    * content digest within the watermark horizon. State is one row per
+    * distinct digest inside the horizon and is evicted as the watermark
+    * advances — the streaming face of the batch exact-dedup operator
+    * (Docs.dedupExact); cross-horizon repeats re-emit and are reconciled by
+    * the idempotent sink upsert, same posture as the resample sink.
+    */
+  def dedupDocs(stream: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   case class StreamPoint(user_id: Long, ts: Timestamp, lat: Double, lon: Double, cid: String)
   case class OpenVisit(cid: String, timeIn: Long, timeOut: Long, nPoints: Long)
   case class Visit(user_id: Long, cid: String, time_in: Timestamp, time_out: Timestamp, n_points: Long)

@@ -123,6 +123,27 @@ class ClusteringSpec extends SparkSpec {
     assert(exactGroups === distGroups)
   }
 
+  test("distributed CC branch: chain across many cells converges to one cluster") {
+    // a 10-cell chain with ids increasing along it — the directed a<b pair
+    // filter then yields only low-rep → high-rep edges, so a one-directional
+    // edge set would strand the min label at the head (regression for the
+    // crossEdges symmetrization); force the distributed branch past the
+    // union-find shortcut
+    val chain = (0 to 10).flatMap(k => (0 until 25).map(j => (0.0 + j * 1e-7, k * 3e-3)))
+    val pts = chain.toArray
+    val exact = Dbscan.run(pts, 0.005, 20)
+    val df = pts.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }.toSeq.toDF("id", "lat", "lon")
+    spark.conf.set("graft.dbscan.unionFindMaxEdges", "0")
+    try {
+      val dist = DistributedDbscan.run(df, 0.005, 20).collect()
+        .map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+      val exactGroups = pts.indices.filter(exact(_) != -1).groupBy(exact(_)).values.map(_.toSet).toSet
+      val distGroups  = pts.indices.filter(dist(_) != -1).groupBy(dist(_)).values.map(_.toSet).toSet
+      assert(exactGroups === distGroups)
+      assert(distGroups.size === 1) // the whole chain is one component
+    } finally spark.conf.unset("graft.dbscan.unionFindMaxEdges")
+  }
+
   test("next-phase clusters continue numbering and respect the 100 m anti-join (gps.py:1507-1561)") {
     // phase 1 makes home at fixtureLats; leave 150 unlabeled stationary
     // points at a spot >100 m from everything → next phase clusters them

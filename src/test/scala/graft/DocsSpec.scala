@@ -99,6 +99,38 @@ class DocsSpec extends SparkSpec {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L))) // one-word edit vs german
   }
 
+  test("tokenCounts: whitespace vs BPE-ish segmentation") {
+    val t = Seq((1L, "don't stop-me now 3.14"), (2L, ""), (3L, "  a  b "))
+      .toDF("doc_id", "text")
+    val out = Docs.tokenCounts(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((4L, 10L))) // don|'|t| stop|-|me| now| 3|.|14
+    assert(out(2L) === ((1L, 0L)))  // split('') yields [""] — one ws token
+    assert(out(3L) === ((2L, 5L)))
+  }
+
+  test("winnowSummary: repeated text collapses to one fingerprint; short text empty") {
+    val t = Seq(
+      (1L, "aaaaaaaaaaaa"),   // 12 chars, all 8-grams identical
+      (2L, "abcdefghijkl"),   // 12 chars: 5 grams, 2 windows
+      (3L, "short")           // < k → no grams
+    ).toDF("doc_id", "text")
+    val out = Docs.winnowSummary(t).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 1L)
+    assert(out(2L).getLong(1) >= 1L && out(2L).getLong(1) <= 2L)
+    assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+
+  test("nearDupClusters: chained candidates collapse to min-id representative") {
+    val cands = Seq((2L, 5L), (1L, 2L), (7L, 8L), (5L, 9L))
+      .toDF("doc_a", "doc_b")
+    val out = Docs.nearDupClusters(cands).as[(Long, Long)].collect().toMap
+    // chain 1-2-5-9 → rep 1 everywhere (min must traverse the chain)
+    assert(Seq(1L, 2L, 5L, 9L).map(out) === Seq(1L, 1L, 1L, 1L))
+    assert(out(7L) === 7L && out(8L) === 7L)
+  }
+
   test("language scores: the/der markers dominate for matching language") {
     val s = Docs.langScores(docs).where(col("doc_id") === 3).head
     assert(s.getAs[Long]("score_de") > s.getAs[Long]("score_en"))

@@ -32,6 +32,24 @@ class StreamsSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("n_points") === 2L)
   }
 
+  test("streaming dedup drops in-horizon repeats, keeps distinct texts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.dedupDocs(df)
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 08:00:00"), "alpha beta"),
+      (2L, ts("2024-01-01 08:00:30"), "alpha beta"),  // dup within horizon
+      (3L, ts("2024-01-01 08:01:00"), "gamma delta"))
+    q.processAllAvailable()
+    input.addData((4L, ts("2024-01-01 08:02:00"), "alpha beta")) // still duplicate state
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM deduped ORDER BY doc_id").collect().map(_.getLong(0))
+    q.stop()
+    assert(kept.toSeq === Seq(1L, 3L)) // one row per distinct digest
+  }
+
   test("late data beyond the watermark is dropped, inside it is aggregated") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double, Double)]
