@@ -511,12 +511,19 @@ object OracleSql {
     * folds (disjoint bit values, SUM ≡ Spark's OR fold), bucket equi-join,
     * exact cosine rerank, rank by (cosine DESC, vec_id).
     */
-  def embLshFixedSql(planes: Seq[Seq[Double]], k: Int, queryMod: Int): String = {
+  /** Sum-of-bit-CASE terms computing the integer-plane signature of the
+    * `embedding` column (disjoint bit values, SUM ≡ Spark's OR fold).
+    */
+  def planeBitTermsSql(planes: Seq[Seq[Double]]): String = {
     def planeLit(v: Seq[Double]): String =
       v.map(x => s"${x.toLong}e0").mkString("[", ", ", "]")
-    val bitTerms = planes.zipWithIndex.map { case (p, b) =>
+    planes.zipWithIndex.map { case (p, b) =>
       s"    (CASE WHEN ${dotLitSql("embedding", planeLit(p))} > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" +\n")
+  }
+
+  def embLshFixedSql(planes: Seq[Seq[Double]], k: Int, queryMod: Int): String = {
+    val bitTerms = planeBitTermsSql(planes)
     val qcos =
       s"(${foldSumSql("list_transform(range(1, len(s.embedding) + 1), i -> CAST(s.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))")} " +
         s"/ (sqrt(${normSqSql("s.embedding")}) * sqrt(${normSqSql("q.q_emb")})))"
@@ -616,6 +623,43 @@ object OracleSql {
        |SELECT comp AS rep, count(*) AS n_docs, max(uid) AS max_doc,
        |  CAST(sum(uid) AS BIGINT) AS id_sum
        |FROM compd GROUP BY comp""".stripMargin
+
+  /** Twin of the emb_dedup query: embedding-cosine near-dup dedup — the
+    * same integer-plane bucket prefilter as emb_lsh_fixed, an exact cosine
+    * gate at `tauLit` (raw doubles, same fold order both engines), then the
+    * recursive min-label component walk and a per-cluster summary keyed by
+    * the minimum vec_id.
+    */
+  def embDedupSql(planes: Seq[Seq[Double]], tauLit: String): String = {
+    val bitTerms = planeBitTermsSql(planes)
+    val cos =
+      s"(${foldSumSql("list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))")} " +
+        s"/ (sqrt(${normSqSql("a.embedding")}) * sqrt(${normSqSql("b.embedding")})))"
+    s"""WITH RECURSIVE sig AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |$bitTerms AS bucket
+       |  FROM embeddings
+       |),
+       |cand AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_v, b.vec_id AS b_v
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE $cos >= $tauLit
+       |),
+       |edgesd AS (
+       |  SELECT a_v AS a_uid, b_v AS b_uid FROM cand
+       |  UNION ALL SELECT b_v AS a_uid, a_v AS b_uid FROM cand
+       |),
+       |nodes AS (SELECT DISTINCT a_uid AS uid FROM edgesd),
+       |walk AS (
+       |  SELECT uid, uid AS comp FROM nodes
+       |  UNION
+       |  SELECT e.a_uid AS uid, w.comp FROM edgesd e JOIN walk w ON w.uid = e.b_uid
+       |  WHERE w.comp < e.a_uid
+       |),
+       |compd AS (SELECT uid, min(comp) AS comp FROM walk GROUP BY uid)
+       |SELECT comp AS rep, count(*) AS n_vecs, max(uid) AS max_vec
+       |FROM compd GROUP BY comp""".stripMargin
+  }
 
   /** Twin of Docs.simHashMd5: tokenize, md5Long per token occurrence,
     * per-bit ±1 sign sums over bits 0..59, pack positives (disjoint bit

@@ -519,6 +519,23 @@ object SparkEntry {
       Similarity.lshTopKFixed(e, e.where(col("vec_id") % 100 === 0),
         Similarity.fixedIntPlanes(64, 4), k = 3)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+    "emb_dedup" -> ((s, d) => {
+      // embedding-cosine near-dup dedup, scale-shaped: LSH bucket equi-join
+      // prefilter (never all-pairs) → exact cosine gate → connected
+      // components → min-vec_id representative summary; integer planes keep
+      // the whole chain exact-oracle reproducible
+      val e = Tables.embeddings(s, d)
+      val planes = Similarity.fixedIntPlanes(64, 4)
+      val sig = e.select(col("vec_id"), col("embedding"),
+        Similarity.planeSignature(col("embedding"), planes).as("bucket"))
+      val pairs = sig.as("a").join(sig.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .where(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.4)
+        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      Docs.nearDupClusters(pairs)
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_vecs"), max("doc_id").as("max_vec"))
     })
   )
 
@@ -1176,7 +1193,8 @@ object SparkEntry {
       // the distributed-DBSCAN pipeline is fully canonical (min-uid
       // components, min-comp border attach, min-uid label order), so the
       // whole clustering — not just a summary — runs under the exact gate
-      "dbscan_distributed" -> OracleSql.dbscanSummarySql("5e-3", minSamples = 50)
+      "dbscan_distributed" -> OracleSql.dbscanSummarySql("5e-3", minSamples = 50),
+      "emb_dedup" -> OracleSql.embDedupSql(Similarity.fixedIntPlanes(64, 4), "0.4e0")
     )
   }
 }

@@ -17,6 +17,39 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Adaptive entry point: a small edge set (≤ graft.cc.unionFindMaxEdges,
+    * default 5M — ~320 MB driver heap worst case at ~64 B/edge) is solved
+    * by one driver-side union-find pass over a bounded collect; a large one
+    * runs the distributed [[minLabel]] loop. The same adaptive posture as a
+    * broadcast-join threshold: near-dup graphs are tiny relative to their
+    * corpus, so the common case is one collect instead of O(log diameter)
+    * join rounds.
+    */
+  def assign(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    val maxEdges = spark.conf.getOption("graft.cc.unionFindMaxEdges")
+      .orElse(spark.conf.getOption("graft.dbscan.unionFindMaxEdges"))
+      .map(_.toLong).getOrElse(5_000_000L)
+    val nEdges = edges.count()
+    if (nEdges <= maxEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select("a_uid", "b_uid").collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      val roots = nodes.select("uid").as[Long].collect().map(u => (u, find(u)))
+      roots.toSeq.toDF("uid", "comp")
+    } else minLabel(nodes, edges, maxIters)
+  }
+
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
     var comp = nodes.select(col("uid"), col("uid").as("comp"))
       .localCheckpoint(eager = true)

@@ -122,39 +122,12 @@ object DistributedDbscan {
     val coreEdges = starEdges.unionByName(crossEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // adaptive CC strategy (same spirit as the broadcast-join threshold):
-    // a small core-edge set is solved by driver-side union-find in one pass;
-    // a large one runs the distributed min-label propagation loop.
-    // Memory guard: each collected edge costs two boxed longs + HashMap
-    // entry ≈ 64 B driver heap → the 5M default is ~320 MB worst case;
-    // tune via graft.dbscan.unionFindMaxEdges to match driver RAM.
+    // adaptive CC via the shared Components kernel (driver union-find for
+    // small edge sets, distributed min-label loop otherwise); coreEdges
+    // carries both directions of every rep-rep edge (see crossEdges above),
+    // star edges only need rep → member flow since rep = cell minimum
     val spark = points.sparkSession
-    val unionFindMaxEdges =
-      spark.conf.getOption("graft.dbscan.unionFindMaxEdges").map(_.toLong).getOrElse(5_000_000L)
-    val nEdges = coreEdges.count()
-    var comp: DataFrame = null
-    if (nEdges <= unionFindMaxEdges) {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      coreEdges.select("a_uid", "b_uid").collect().foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      import spark.implicits._
-      val roots = core.select("uid").as[Long].collect().map(u => (u, find(u)))
-      comp = roots.toSeq.toDF("uid", "comp")
-    } else {
-      // shared min-label + pointer-halving kernel; coreEdges carries both
-      // directions of every rep-rep edge (see crossEdges above), star edges
-      // only need rep → member flow since rep = cell minimum
-      comp = Components.minLabel(core.select("uid"), coreEdges)
-    }
+    val comp = Components.assign(core.select("uid"), coreEdges)
 
     // 4. border coords: smallest component among core neighbors
     val borderComp = pairs

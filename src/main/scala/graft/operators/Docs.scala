@@ -187,7 +187,7 @@ object Docs {
         struct(col("doc_b").as("a_uid"), col("doc_a").as("b_uid")))).as("e"))
       .select(col("e.a_uid").as("a_uid"), col("e.b_uid").as("b_uid"))
     val nodes = edges.select(col("a_uid").as("uid")).distinct()
-    Components.minLabel(nodes, edges)
+    Components.assign(nodes, edges)
       .select(col("uid").as("doc_id"), col("comp").as("rep"))
   }
 
