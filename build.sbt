@@ -41,4 +41,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the 10M-page run; TmpAB A/B evidence, round 3) — steady-state sizing
   // from the start is the executor-memory posture a real cluster uses
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Every Catalyst query codegen's fresh classes; a long session (60-query
+  // bench × 3 reps) fills the default 240 MB JIT code cache, after which
+  // compilation stops and identical jobs run interpreted (measured 4-10×:
+  // the same 5 s pipeline degraded to 65 s late in a session). Size it so
+  // steady-state stays compiled — on a real cluster this is an executor
+  // JVM flag (spark.executor.extraJavaOptions).
+  "-XX:ReservedCodeCacheSize=1g",
 )

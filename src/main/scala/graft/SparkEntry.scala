@@ -524,8 +524,14 @@ object SparkEntry {
       // embedding-cosine near-dup dedup, scale-shaped: LSH bucket equi-join
       // prefilter (never all-pairs) → exact cosine gate → connected
       // components → min-vec_id representative summary; integer planes keep
-      // the whole chain exact-oracle reproducible
-      val e = Tables.embeddings(s, d)
+      // the whole chain exact-oracle reproducible. Bucket count must grow
+      // with the corpus (bits ≈ log2(n / targetBucketSize); 4 bits suits
+      // the test SF — at 10^12 rows use ~30 bits plus the maxBucket cap
+      // discipline of Docs.minHashCandidates to bound within-bucket pairs)
+      // the toy parquet is a single split; the broadcast-probe side would
+      // inherit that ONE partition and run every cosine on one core — spread
+      // it the way a many-split production table arrives naturally
+      val e = Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
       val planes = Similarity.fixedIntPlanes(64, 4)
       val sig = e.select(col("vec_id"), col("embedding"),
         Similarity.planeSignature(col("embedding"), planes).as("bucket"))

@@ -182,10 +182,15 @@ object Docs {
     * that appears in at least one candidate pair.
     */
   def nearDupClusters(cands: DataFrame): DataFrame = {
+    // materialize the edge set ONCE: the candidate pipeline upstream is the
+    // expensive part (signatures + banding + pair join), and Components
+    // .assign consumes edges in several jobs (count + collect, or the
+    // iterative loop) — without this checkpoint each job re-runs it
     val edges = cands.select(explode(array(
         struct(col("doc_a").as("a_uid"), col("doc_b").as("b_uid")),
         struct(col("doc_b").as("a_uid"), col("doc_a").as("b_uid")))).as("e"))
       .select(col("e.a_uid").as("a_uid"), col("e.b_uid").as("b_uid"))
+      .localCheckpoint(eager = true)
     val nodes = edges.select(col("a_uid").as("uid")).distinct()
     Components.assign(nodes, edges)
       .select(col("uid").as("doc_id"), col("comp").as("rep"))

@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a[i]·b[i] as a left-fold in array order (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ a[i]·b[i] as a left-fold in array order (deterministic). Compiled
+    * kernel (graft.functions.Vec): identical fold order to the HOF
+    * formulation it replaced — every oracle-compared double is unchanged —
+    * but no per-element boxing (the interpreted HOF allocated one boxed
+    * Double per element per row; measured 4-10× slowdowns from GC pressure
+    * on bucketed self-joins as sessions aged).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.Vec.dot(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(graft.functions.Vec.sumSq(a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
