@@ -13,13 +13,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** (idleTicks, totalTicks) from the aggregate /proc/stat cpu line. */
-  private def cpuTicks(): Option[(Long, Long)] =
+  /** (idleTicks, stealTicks, totalTicks) from the aggregate /proc/stat cpu
+    * line. Steal is stamped separately: the host's episodic 10-50× task
+    * slowdowns show as hypervisor steal bursts that plain idle% (which our
+    * own usage dominates) cannot reveal.
+    */
+  private def cpuTicks(): Option[(Long, Long, Long)] =
     try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
       // fields: user nice system idle iowait irq softirq steal ...
-      Some((f(3) + f(4), f.sum))
+      Some((f(3) + f(4), if (f.length > 7) f(7) else 0L, f.sum))
     } catch { case _: Throwable => None }
 
   private def median(xs: Seq[Double]): Double = {
@@ -36,6 +40,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // external-load indicator sampled BEFORE we start consuming cores
@@ -61,10 +66,11 @@ object Bench {
       System.gc()
       runs(name) = runs(name) :+ dt
     }
-    val idlePct = (t0Ticks, cpuTicks()) match {
-      case (Some((i0, t0t)), Some((i1, t1t))) if t1t > t0t =>
-        100.0 * (i1 - i0).toDouble / (t1t - t0t).toDouble
-      case _ => -1.0
+    val (idlePct, stealPct) = (t0Ticks, cpuTicks()) match {
+      case (Some((i0, s0, t0t)), Some((i1, s1, t1t))) if t1t > t0t =>
+        (100.0 * (i1 - i0).toDouble / (t1t - t0t).toDouble,
+         100.0 * (s1 - s0).toDouble / (t1t - t0t).toDouble)
+      case _ => (-1.0, -1.0)
     }
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
 
@@ -73,7 +79,7 @@ object Bench {
     val allRuns = names.map { case (k, _) =>
       s"\"" + k + "\":" + runs(k).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"aggregation":"median","idle_pct":${f"$idlePct%.1f"},"loadavg_before":${f"$loadBefore%.2f"},"heap_gb":${f"$heapGb%.1f"},"cpus":$cpus,"runs":$allRuns}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"aggregation":"median","idle_pct":${f"$idlePct%.1f"},"steal_pct":${f"$stealPct%.2f"},"loadavg_before":${f"$loadBefore%.2f"},"heap_gb":${f"$heapGb%.1f"},"cpus":$cpus,"runs":$allRuns}""")
     spark.stop()
   }
 }

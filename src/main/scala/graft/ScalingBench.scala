@@ -29,6 +29,7 @@ object ScalingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -104,13 +105,15 @@ object ScalingBench {
     } finally spark.stop()
   }
 
-  /** (idleTicks, totalTicks) from /proc/stat — external-load stamp. */
-  def cpuTicks(): (Long, Long) =
+  /** (idleTicks, stealTicks, totalTicks) from /proc/stat — external-load
+    * stamp; steal bursts are the host's episodic-degradation signature.
+    */
+  def cpuTicks(): (Long, Long, Long) =
     try {
       val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
         .trim.split("\\s+").drop(1).map(_.toLong)
-      (f(3) + f(4), f.sum)
-    } catch { case _: Throwable => (0L, 0L) }
+      (f(3) + f(4), if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
 
   // ---------------------------------------------------------------------
   // Skew demo (SURVEY §7.3-5): a Zipf-skewed shuffle join where AQE's skew
@@ -132,6 +135,7 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -193,7 +197,7 @@ object ScalingBench {
     val loadBefore =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    val (i0, t0) = cpuTicks()
+    val (i0, s0, t0) = cpuTicks()
     val samples = (1 to rounds).map { _ =>
       (timeAt(small, sfDir, repl), timeAt(big, sfDir, repl))
     }
@@ -202,8 +206,9 @@ object ScalingBench {
     val ctrl = (1 to rounds).map { _ =>
       (cpuControlAt(small, ctrlN), cpuControlAt(big, ctrlN))
     }
-    val (i1, t1) = cpuTicks()
+    val (i1, s1, t1) = cpuTicks()
     val idlePct = if (t1 > t0) 100.0 * (i1 - i0).toDouble / (t1 - t0).toDouble else -1.0
+    val stealPct = if (t1 > t0) 100.0 * (s1 - s0).toDouble / (t1 - t0).toDouble else -1.0
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val n1 = samples.head._1._1
     val n2 = samples.head._2._1
@@ -219,7 +224,7 @@ object ScalingBench {
       f""""pages_per_sec_small":$thrSmall%.0f,"pages_per_sec_big":$thrBig%.0f,""" +
       f""""speedup":${tSmall / tBig}%.2f,"efficiency":$eff%.3f,""" +
       f""""control_sec_small":${med(ctrl.map(_._1))}%.2f,"control_sec_big":${med(ctrl.map(_._2))}%.2f,""" +
-      f""""control_efficiency":$cEff%.3f,"idle_pct":$idlePct%.1f,"loadavg_before":$loadBefore%.2f,""" +
+      f""""control_efficiency":$cEff%.3f,"idle_pct":$idlePct%.1f,"steal_pct":$stealPct%.2f,"loadavg_before":$loadBefore%.2f,""" +
       f""""sf":"$sfDir"}""")
   }
 }
