@@ -78,6 +78,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("near-dup pair pipelines plan as hash joins, never nested-loop") {
+    // the bucket/band prefilter exists precisely so pair generation is an
+    // EQUI join; a regression to BroadcastNestedLoopJoin or CartesianProduct
+    // would be the all-pairs plan the design forbids. (The dedup QUERIES'
+    // final plans are post-CC LocalTableScans — the joins run eagerly inside
+    // nearDupClusters — so the assertion targets the pair frames.)
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planes = Similarity.fixedIntPlanes(64, 4)
+    val sig = e.select(col("vec_id"), col("embedding"),
+      Similarity.planeSignature(col("embedding"), planes).as("bucket"))
+    val embPairs = sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .where(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.4)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mhPairs = operators.Docs.minHashMd5Candidates(operators.Docs.minHashMd5Signature(docs))
+    for ((tag, df) <- Seq("emb_pairs" -> embPairs, "mh_pairs" -> mhPairs)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$tag: $plan")
+      assert(!plan.contains("CartesianProduct"), tag)
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), s"$tag: $plan")
+    }
+  }
+
   test("codebook cache: second call skips training, identical codebook") {
     val corpus = (0L until 200L).map { i =>
       (i, vec((0 until 8).map(d => math.sin(i * 8 + d + 1).toDouble): _*))
