@@ -234,6 +234,19 @@ object SparkEntry {
     // ---- gap imputation (H3, gscap/gps.py:1611-1746) --------------------
     // per-row: every imputed timestamp and its linspace-interpolated coords
     // are oracle-checked (exact: identical interp operation order)
+    "gps_asof" -> ((s, d) => {
+      // point-in-time feature lookup: each GPS point picks up its user's
+      // most recent purchase value at-or-before the point's timestamp —
+      // union-tag + running window (one shuffle), never a range join;
+      // right side pre-aggregated to one row per (user, ts) so the
+      // at-equal tie is deterministic on both engines
+      val g = Tables.gps(s, d).select("user_id", "event_id", "ts")
+      val purchases = Tables.events(s, d).where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      operators.Temporal.asofJoin(g, purchases, Seq("user_id"), "ts", "ts")
+        .select("user_id", "event_id", "ts", "asof_value")
+    }),
+
     "gps_impute" -> ((s, d) =>
       Motion.imputeStationary(Tables.gps(s, d))
         .select("user_id", "event_id", "ts", "lat", "lon")),
@@ -831,6 +844,15 @@ object SparkEntry {
            |SELECT a.id AS id1, b.id AS id2,
            |  round(${hav("a.lat", "a.lon", "b.lat", "b.lon")}, 1) AS distance
            |FROM u a JOIN u b ON a.id < b.id""".stripMargin,
+
+      "gps_asof" ->
+        s"""WITH $gpsCte,
+           |pur AS (
+           |  SELECT user_id, ts, max(value) AS value
+           |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+           |)
+           |SELECT g.user_id, g.event_id, g.ts, p.value AS asof_value
+           |FROM gps g ASOF LEFT JOIN pur p ON g.user_id = p.user_id AND g.ts >= p.ts""".stripMargin,
 
       "gps_impute" ->
         s"""WITH $gpsCte, ${OracleSql.imputeCtes}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (AS-OF) join: for every left row, the single most recent
+  * right row per key with right.ts ≤ left.ts — the feature-lookup join
+  * (price-as-of, weather-as-of) that a naive range join turns into a
+  * per-row interval explosion.
+  *
+  * Shape: tag both sides, union, ONE running last-non-null window per value
+  * column, keep the left rows. One shuffle on `keys` plus a per-key sort —
+  * no range join, no cross product, and the window is a running frame
+  * (O(n) per key, not O(n²)). At equal timestamps the right row sorts
+  * first (tag 0 < 1): inclusive at-or-before semantics, identical to
+  * DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` oracle.
+  *
+  * The right side must be unique per (keys, ts) — pre-aggregate otherwise,
+  * or the tie order among equal right rows is nondeterministic.
+  */
+object Temporal {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String): DataFrame = {
+    val valueCols = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
+    val carryCols = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
+    val l = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
+        carryCols.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
+        carryCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(Seq(col("*")) ++
+        valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .where(col("__tag") === 1)
+      .drop("__tag")
+      .drop(valueCols.map(c => s"__v_$c"): _*)
+      .withColumnRenamed("__ts", leftTs)
+  }
+}
