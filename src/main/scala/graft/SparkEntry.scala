@@ -247,6 +247,18 @@ object SparkEntry {
         .select("user_id", "event_id", "ts", "asof_value")
     }),
 
+    "gps_session_attr" -> ((s, d) => {
+      // point-to-session attribution: every GPS point joined to the visit
+      // interval containing it — bucketized interval join (equi join on
+      // (user, hour-chunk) + exact refine), never an inequality theta join
+      val pts = Tables.gps(s, d).select("user_id", "event_id", "ts")
+      val visits = Sessions.visits(Pipelines.labeledPoints(s, d))
+        .select(col("user_id"), col("cid"), col("pos"), col("time_in"), col("time_out"))
+      operators.Temporal.intervalJoin(pts, visits, Seq("user_id"), "ts",
+          "time_in", "time_out", chunkSeconds = 3600L)
+        .select("user_id", "event_id", "cid", "pos", "time_in")
+    }),
+
     "gps_impute" -> ((s, d) =>
       Motion.imputeStationary(Tables.gps(s, d))
         .select("user_id", "event_id", "ts", "lat", "lon")),
@@ -853,6 +865,12 @@ object SparkEntry {
            |)
            |SELECT g.user_id, g.event_id, g.ts, p.value AS asof_value
            |FROM gps g ASOF LEFT JOIN pur p ON g.user_id = p.user_id AND g.ts >= p.ts""".stripMargin,
+
+      "gps_session_attr" ->
+        s"""WITH $visitCtes
+           |SELECT g.user_id, g.event_id, v.cid, v.pos, v.time_in
+           |FROM gps g JOIN visits v
+           |  ON g.user_id = v.user_id AND g.ts >= v.time_in AND g.ts <= v.time_out""".stripMargin,
 
       "gps_impute" ->
         s"""WITH $gpsCte, ${OracleSql.imputeCtes}

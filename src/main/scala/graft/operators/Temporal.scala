@@ -44,4 +44,27 @@ object Temporal {
       .drop(valueCols.map(c => s"__v_$c"): _*)
       .withColumnRenamed("__ts", leftTs)
   }
+
+  /** Interval (containment) join: left rows where leftTs ∈ [start, end]
+    * inclusive, per key — bucketized equi prejoin + exact refine. Intervals
+    * explode to every `chunkSeconds`-sized time chunk they span; points
+    * join on their single chunk, so the shuffle is an EQUI join on
+    * (keys, chunk) — never an inequality/theta join — and each matching
+    * (point, interval) pair is found exactly once (the point's chunk is
+    * unique). Pick `chunkSeconds` near the typical interval span: cost per
+    * interval is ceil(span/chunk)+1 exploded rows. Intervals must satisfy
+    * start ≤ end (a descending `sequence` would fabricate chunks).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, startCol: String, endCol: String,
+                   chunkSeconds: Long = 3600L): DataFrame = {
+    def chunkOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("long") / chunkSeconds).cast("long")
+    val l = left.withColumn("__chunk", chunkOf(col(leftTs)))
+    val r = right.withColumn("__chunk",
+      explode(sequence(chunkOf(col(startCol)), chunkOf(col(endCol)))))
+    l.join(r, keys :+ "__chunk")
+      .where(col(leftTs) >= col(startCol) && col(leftTs) <= col(endCol))
+      .drop("__chunk")
+  }
 }

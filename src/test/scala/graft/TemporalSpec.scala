@@ -36,6 +36,29 @@ class TemporalSpec extends SparkSpec {
     assert(row.getAs[String]("asof_b") === "x")
   }
 
+  test("intervalJoin: inclusive containment, cross-chunk spans, no duplicates") {
+    val pts = Seq(
+      (1L, ts(100), 1L), (1L, ts(7200), 2L), (1L, ts(7300), 3L), (1L, ts(50), 4L),
+      (2L, ts(100), 5L)
+    ).toDF("k", "t", "id")
+    // interval spans 3 hour-chunks; boundaries inclusive
+    val iv = Seq((1L, ts(100), ts(7200), "v1")).toDF("k", "s", "e", "tag")
+    val out = Temporal.intervalJoin(pts, iv, Seq("k"), "t", "s", "e", chunkSeconds = 3600L)
+      .select("id", "tag").as[(Long, String)].collect()
+    assert(out.toSet === Set((1L, "v1"), (2L, "v1"))) // ids 1 (start bound) and 2 (end bound)
+    assert(out.length === 2) // exactly once each despite the 3-chunk explode
+  }
+
+  test("intervalJoin plans as an equi join, never inequality-only/nested-loop") {
+    val pts = Seq((1L, ts(100), 1L)).toDF("k", "t", "id")
+    val iv = Seq((1L, ts(50), ts(150), "v")).toDF("k", "s", "e", "tag")
+    val plan = Temporal.intervalJoin(pts, iv, Seq("k"), "t", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("asofJoin plans as one shuffle + window, never a range/nested-loop join") {
     val left = Seq((1L, ts(3), 10L)).toDF("k", "t", "id")
     val right = Seq((1L, ts(2), 1.0)).toDF("k", "t", "v")
