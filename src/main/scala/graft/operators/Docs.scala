@@ -37,10 +37,12 @@ object Docs {
     docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
   }
 
-  /** Word-shingles of size n from a pre-tokenized array column. The token
-    * array MUST be a materialized column reference (not an inline split):
-    * expressions referenced inside HOF lambdas are re-evaluated per element,
-    * so an inline regex split would turn this O(n) pass into O(n²) splits.
+  /** Word-shingles of size n from a pre-tokenized array column — the HOF
+    * reference formulation, retained as the executable spec the compiled
+    * kernel is pinned against (TextKernelSpec). The token array MUST be a
+    * materialized column reference (not an inline split): expressions
+    * referenced inside HOF lambdas are re-evaluated per element, so an
+    * inline regex split would turn this O(n) pass into O(n²) splits.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
@@ -49,11 +51,16 @@ object Docs {
           i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
         s => s.isNotNull))
 
-  /** Word-shingles of size n from whitespace-tokenized text (convenience for
-    * small frames/tests; see shinglesFromTokens for the hot path).
+  /** HOF twin of [[shingles]] (parity spec only — interpreted per element). */
+  def shinglesHof(text: Column, n: Int): Column =
+    shinglesFromTokens(split(trim(text), "\\s+"), n)
+
+  /** Word-shingles of size n from whitespace-tokenized text, via the
+    * compiled single-pass kernel (graft.functions.ShinglesExpr — the HOF
+    * formulation above evaluates interpreted per element).
     */
   def shingles(text: Column, n: Int): Column =
-    shinglesFromTokens(split(trim(text), "\\s+"), n)
+    graft.functions.Text.shingles(text, n)
 
   /** MinHash signature: for each of `numHashes` seeded permutations, the
     * minimum xxhash64(seed, shingle) over the doc's shingle set. LSH banding
@@ -134,9 +141,19 @@ object Docs {
   /** Oracle-expressible MinHash: `numHashes` permutations, permutation i of
     * a shingle s = md5Long("i|" ++ s); signature element = min over the
     * doc's distinct 3-gram shingles (Long.MaxValue for docs with < 3
-    * tokens — same sentinel both engines).
+    * tokens — same sentinel both engines). Runs as ONE compiled
+    * tokenize→shingle→hash→min pass (graft.functions.MinHashMd5Expr); the
+    * HOF formulation is retained below as [[minHashMd5SignatureHof]].
+    * The kernel output is staged as its own projection so the 4 mh_i
+    * references don't inline (CollapseProject keeps non-cheap aliases).
     */
-  def minHashMd5Signature(docs: DataFrame, numHashes: Int = 4): DataFrame = {
+  def minHashMd5Signature(docs: DataFrame, numHashes: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.Text.minHashMd5(col("text"), numHashes).as("__sig"))
+      .select(col("doc_id") +: (0 until numHashes).map(i => col("__sig")(i).as(s"mh_$i")): _*)
+
+  /** HOF twin of [[minHashMd5Signature]] (parity spec only). */
+  def minHashMd5SignatureHof(docs: DataFrame, numHashes: Int = 4): DataFrame = {
     val withSh = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
@@ -211,20 +228,24 @@ object Docs {
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .otherwise(0.0))
+      // compiled single-pass set Jaccard (one hash-set build per pair) —
+      // value identical to size(intersect)/size(union): counts are exact
+      // ints, the division is the same single IEEE operation
+      .withColumn("jaccard", graft.functions.Text.jaccard(col("sh_a"), col("sh_b")))
       .select("doc_a", "doc_b", "jaccard")
   }
 
   /** SimHash (64-bit) over whitespace tokens: sign-sum of per-token xxhash64
     * bits weighted by term frequency; near-dups have small Hamming distance.
+    * One compiled tokenize→hash→sign-sum→pack pass (SimHashXxExpr): the HOF
+    * formulation ([[simHashHof]]) evaluated 64 boxed counter updates PER
+    * TOKEN, interpreted.
     */
-  def simHash(docs: DataFrame): DataFrame = {
-    // single aggregate pass: accumulator = 64 signed counters; each token
-    // hash contributes ±1 per bit position; final fold packs sign bits
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.Text.simHashXx(col("text")).as("simhash"))
+
+  /** HOF twin of [[simHash]] (parity spec only). */
+  def simHashHof(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val hashes = transform(toks, t => xxhash64(t))
     val zeros = array_repeat(lit(0L), 64)
@@ -243,7 +264,11 @@ object Docs {
     * to [[md5Long]] (60 bits), so DuckDB recomputes the whole chain exactly.
     * The xxhash64 path above stays the production kernel (rows-only check).
     */
-  def simHashMd5(docs: DataFrame): DataFrame = {
+  def simHashMd5(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.Text.simHashMd5(col("text")).as("simhash_md5"))
+
+  /** HOF twin of [[simHashMd5]] (parity spec only). */
+  def simHashMd5Hof(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val hashes = transform(toks, t => md5Long(t))
     val zeros = array_repeat(lit(0L), 60)
@@ -298,8 +323,17 @@ object Docs {
   /** Document fingerprint: 64-bit polynomial rolling hash of the whole text
     * (base 31, wrapping long arithmetic), as a cheap order-sensitive content
     * id; plus winnowing-style k-gram min-hash per fixed-length block.
+    * Compiled kernel — which also FIXES the expression formulation's latent
+    * ANSI bug: under Spark 4 ANSI mode `acc * 31L` throws ARITHMETIC_OVERFLOW
+    * for any text over 12 codepoints instead of wrapping (pinned in
+    * TextKernelSpec); the kernel wraps as documented.
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Text.fingerprintWrap(col("text")).as("fingerprint"))
+
+  /** HOF twin of [[fingerprint]] (parity spec only). */
+  def fingerprintHof(docs: DataFrame): DataFrame = {
     val chars = split(col("text"), "")
     val poly = aggregate(
       filter(chars, c => length(c) > 0),
@@ -331,7 +365,14 @@ object Docs {
     * distinct-fingerprint count and min/max fingerprint (null when the
     * text is shorter than k + w − 1).
     */
-  def winnowSummary(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+  def winnowSummary(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.Text.winnow(col("text"), k, w).as("__w"))
+      .select(col("doc_id"), col("__w.n_fp").as("n_fp"),
+        col("__w.min_fp").as("min_fp"), col("__w.max_fp").as("max_fp"))
+
+  /** HOF twin of [[winnowSummary]] (parity spec only). */
+  def winnowSummaryHof(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     val n = length(col("text"))
     val gramsExpr = when(n >= k,
       transform(sequence(lit(1), n - lit(k - 1)), i =>
@@ -358,7 +399,12 @@ object Docs {
     * per-character fold mechanics exactly. acc < p ≈ 2^30, so
     * acc·31 + char < 2^36 — no overflow on either engine.
     */
-  def fingerprintMod(docs: DataFrame, p: Long = 1000000007L): DataFrame = {
+  def fingerprintMod(docs: DataFrame, p: Long = 1000000007L): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Text.fingerprintMod(col("text"), p).as("fingerprint_mod"))
+
+  /** HOF twin of [[fingerprintMod]] (parity spec only). */
+  def fingerprintModHof(docs: DataFrame, p: Long = 1000000007L): DataFrame = {
     val chars = split(col("text"), "")
     val poly = aggregate(
       filter(chars, c => length(c) > 0),
