@@ -153,6 +153,10 @@ object MediaImpl {
       if (len < 0 || off + 8 + len + 4 > png.length) return null
       typ match {
         case "IHDR" =>
+          // declared length must cover the 13 IHDR fields — a truncated
+          // trailing IHDR would otherwise read past the chunk (and, at
+          // len < 5, past the array)
+          if (len < 13) return null
           w = ((png(off + 8) & 0xff) << 24) | ((png(off + 9) & 0xff) << 16) |
             ((png(off + 10) & 0xff) << 8) | (png(off + 11) & 0xff)
           h = ((png(off + 12) & 0xff) << 24) | ((png(off + 13) & 0xff) << 16) |
@@ -303,6 +307,10 @@ object MediaImpl {
     while (off + 8 <= wav.length && dataOff < 0) {
       val id = new String(wav, off, 4, StandardCharsets.US_ASCII)
       val len = le32(off + 4)
+      // a negative/garbage chunk length would make the advance zero or
+      // negative (len = -8 → +0, len = -9 → -1): an infinite loop on a
+      // malformed container — treat as malformed, mirroring pngDecode
+      if (len < 0) return InternalRow(false, 0L, 0L, 0, Array.emptyByteArray)
       if (id == "data") { dataOff = off + 8; dataLen = math.min(len, wav.length - dataOff) }
       else off += 8 + len + (len & 1)
     }

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Adaptive entry point: a small edge set (≤ graft.cc.unionFindMaxEdges,
-    * default 5M — ~320 MB driver heap worst case at ~64 B/edge) is solved
+  /** Adaptive entry point: a small graph (≤ graft.cc.unionFindMaxEdges
+    * edges, default 5M — ~320 MB driver heap worst case at ~64 B/edge — AND
+    * ≤ graft.cc.unionFindMaxNodes nodes, default 2·maxEdges: the NODE set is
+    * also collected, and e.g. millions of isolated core points arrive with
+    * few edges, so an edge-only gate would not bound the driver) is solved
     * by one driver-side union-find pass over a bounded collect; a large one
     * runs the distributed [[minLabel]] loop. The same adaptive posture as a
     * broadcast-join threshold: near-dup graphs are tiny relative to their
@@ -30,8 +33,10 @@ object Components {
     val maxEdges = spark.conf.getOption("graft.cc.unionFindMaxEdges")
       .orElse(spark.conf.getOption("graft.dbscan.unionFindMaxEdges"))
       .map(_.toLong).getOrElse(5_000_000L)
+    val maxNodes = spark.conf.getOption("graft.cc.unionFindMaxNodes")
+      .map(_.toLong).getOrElse(2L * maxEdges)
     val nEdges = edges.count()
-    if (nEdges <= maxEdges) {
+    if (nEdges <= maxEdges && nodes.count() <= maxNodes) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -199,21 +199,43 @@ object Similarity {
     java.nio.file.Paths.get(dir, s"$h.codebook")
   }
 
+  /** Codebook file-format version — bump when [[trainCentroids]]'s algorithm
+    * changes so stale on-disk codebooks are not silently reused.
+    */
+  private val CodebookFormatVersion = 2
+
   /** [[trainCentroids]] behind a (corpusKey, dim, nCells, maxSample, iters)
     * cache: first call trains and persists; later calls (same JVM or a
     * resumed run) load the stored codebook. `corpusKey` must identify the
-    * corpus snapshot (e.g. its path/version).
+    * corpus snapshot (e.g. its path/version). The PERSISTED key additionally
+    * folds in a one-pass corpus fingerprint (row count + bit_xor of
+    * xxhash64(vec_id)) and the format version, so a changed corpus at the
+    * same path or a changed training algorithm can never silently reuse a
+    * stale on-disk codebook; loaded files are dimension-validated. The
+    * in-JVM memo stays keyed by (corpusKey, params) alone so repeat calls in
+    * one session skip ALL jobs including the fingerprint scan.
     */
   def trainCentroidsCached(corpus: DataFrame, dim: Int, nCells: Int, corpusKey: String,
                            maxSample: Int = 10000, iters: Int = 8): Seq[(Int, Seq[Double])] = {
     val key = s"$corpusKey|$dim|$nCells|$maxSample|$iters"
     codebookMemo.computeIfAbsent(key, _ => {
-      val f = codebookFile(corpus.sparkSession, key)
-      if (java.nio.file.Files.exists(f)) {
-        scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files.readAllLines(f))
-          .asScala.toSeq.zipWithIndex
-          .map { case (line, i) => (i, line.split(",").toSeq.map(_.toDouble)) }
-      } else {
+      // cheap distributed fingerprint (bit_xor cannot overflow under ANSI,
+      // unlike a sum of hashes); one small agg job, memo-miss only
+      val fp = corpus.selectExpr(
+        "count(*) AS n", "coalesce(bit_xor(xxhash64(vec_id)), CAST(0 AS BIGINT)) AS x").head()
+      val fileKey = s"$key|v$CodebookFormatVersion|n=${fp.getLong(0)}|x=${fp.getLong(1)}"
+      val f = codebookFile(corpus.sparkSession, fileKey)
+      val loaded: Option[Seq[(Int, Seq[Double])]] =
+        if (java.nio.file.Files.exists(f)) {
+          try {
+            val cb = scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files.readAllLines(f))
+              .asScala.toSeq.zipWithIndex
+              .map { case (line, i) => (i, line.split(",").toSeq.map(_.toDouble)) }
+            if (cb.size == nCells && cb.forall(_._2.size == dim)) Some(cb)
+            else None // shape mismatch → corrupt/foreign file: retrain
+          } catch { case _: NumberFormatException => None }
+        } else None
+      loaded.getOrElse {
         trainings.incrementAndGet()
         val cb = trainCentroids(corpus, dim, nCells, maxSample, iters)
         java.nio.file.Files.createDirectories(f.getParent)

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * The right side must be unique per (keys, ts) — pre-aggregate otherwise,
   * or the tie order among equal right rows is nondeterministic.
+  *
+  * All value columns ride in ONE struct through a single last(ignoreNulls)
+  * window, so the matched right row is atomic: a row-level NULL in one
+  * value column survives (it is NOT skipped for an older non-null value),
+  * and multi-column outputs can never mix fields from different right rows
+  * — per-column last() windows would do both.
   */
 object Temporal {
 
@@ -25,24 +31,22 @@ object Temporal {
                leftTs: String, rightTs: String): DataFrame = {
     val valueCols = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
     val carryCols = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
+    val vType = org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c)))
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
-        carryCols.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+        carryCols.map(col) :+ lit(null).cast(vType).as("__v"): _*)
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
-        carryCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        carryCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__v"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(Seq(col("*")) ++
-        valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
-      .drop("__tag")
-      .drop(valueCols.map(c => s"__v_$c"): _*)
-      .withColumnRenamed("__ts", leftTs)
+      .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++ carryCols.map(col) ++
+        valueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Interval (containment) join: left rows where leftTs ∈ [start, end]

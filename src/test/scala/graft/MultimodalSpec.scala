@@ -107,6 +107,29 @@ class MultimodalSpec extends SparkSpec {
     assert(s.getInt(3) === expect.map(v => math.abs(v.toInt)).max)
   }
 
+  test("malformed containers are rejected, never looped or overread") {
+    import graft.functions.MediaImpl
+    // WAV whose first chunk declares length -8: the RIFF-walk advance would
+    // be zero — an infinite loop without the len<0 guard
+    val evil = MediaImpl.wavEncode(8000, 1, 2, seed = 0L)
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte; evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(MediaImpl.wavStats(evil).getBoolean(0) === false)
+    // and len = -9 (negative advance)
+    evil(16) = 0xf7.toByte
+    assert(MediaImpl.wavStats(evil).getBoolean(0) === false)
+
+    // PNG whose trailing IHDR declares len 4 < the 13 header fields: field
+    // reads would run past the chunk/array without the len>=13 guard
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    out.write(Array[Byte](0, 0, 0, 4))            // len 4
+    out.write("IHDR".getBytes("US-ASCII"))
+    out.write(Array[Byte](1, 2, 3, 4))            // 4 data bytes only
+    out.write(Array[Byte](0, 0, 0, 0))            // crc
+    assert(MediaImpl.pngDecode(out.toByteArray) === null)
+    assert(MediaImpl.pngStats(out.toByteArray).getBoolean(0) === false)
+  }
+
   test("media pipeline: synthesized containers decode back via real content parse") {
     val media = Multimodal.mediaFromPages(Pages.pagesFromGps(gps))
     val f = Multimodal.mediaFeatures(media).orderBy("url").collect()

@@ -36,6 +36,22 @@ class TemporalSpec extends SparkSpec {
     assert(row.getAs[String]("asof_b") === "x")
   }
 
+  test("asofJoin matched row is atomic: NULL value columns survive, no field mixing") {
+    val left = Seq((1L, ts(10), 1L), (1L, ts(20), 2L)).toDF("k", "t", "id")
+    val right = Seq(
+      (1L, ts(4), Some(1.5), Some("old")),
+      (1L, ts(8), None: Option[Double], Some("new")) // later row, NULL in a
+    ).toDF("k", "t", "a", "b")
+    val rows = Temporal.asofJoin(left, right, Seq("k"), "t", "t")
+      .orderBy("id").collect()
+    // both left rows match the ts(8) right row ATOMICALLY: asof_a must be
+    // the row-level NULL, never ts(4)'s 1.5 carried forward per-column
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("asof_a")))
+      assert(r.getAs[String]("asof_b") === "new")
+    }
+  }
+
   test("intervalJoin: inclusive containment, cross-chunk spans, no duplicates") {
     val pts = Seq(
       (1L, ts(100), 1L), (1L, ts(7200), 2L), (1L, ts(7300), 3L), (1L, ts(50), 4L),
