@@ -55,7 +55,17 @@ object Bench {
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // consume EVERY output column, not just row count: under a bare
+      // count() ColumnPruning drops the final projection, so
+      // projection-only queries (doc_quality, doc_winnow, pages_text, …)
+      // were partially timing row counting instead of the operator. The
+      // xxhash64-over-struct aggregate forces each column to materialize
+      // while keeping the action a cheap single-row collect.
+      try {
+        val df = fn(spark, sfDir)
+        import org.apache.spark.sql.functions.{col, count, struct, xxhash64}
+        df.agg(count(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
