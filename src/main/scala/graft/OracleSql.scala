@@ -709,6 +709,58 @@ object OracleSql {
        |FROM f""".stripMargin
   }
 
+  /** Twin of the media_pixels query: the DECODED pixel/sample aggregates of
+    * the linear-content containers, recomputed ANALYTICALLY from the same
+    * event_id arithmetic (never parsing bytes in SQL): channel value =
+    * (sb + a·x + b·y) mod 256 summed over the w×h grid, PCM sample =
+    * ((sb·97 + i·37) mod 65536) − 32768 over nf·ch samples. Equality with
+    * Spark's decode-side sums verifies the real deflate→inflate→unfilter
+    * and RIFF→LE-PCM kernels end-to-end. All sums cast from HUGEINT.
+    */
+  val mediaPixelsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_id % 256 AS sb,
+      |    CAST(event_id % 32 + 8 AS BIGINT) AS w,
+      |    CAST(event_id % 24 + 8 AS BIGINT) AS h,
+      |    CAST(event_id % 300 + 64 AS BIGINT) AS nf,
+      |    CAST(CASE WHEN event_id % 6 = 0 THEN 1 ELSE 2 END AS BIGINT) AS ch
+      |  FROM events WHERE event_id % 20 = 0
+      |),
+      |pngx AS (
+      |  SELECT event_id, sb, h, unnest(generate_series(0, w - 1)) AS x
+      |  FROM ev WHERE event_id % 3 <> 0
+      |),
+      |pngxy AS (
+      |  SELECT event_id, sb, x, unnest(generate_series(0, h - 1)) AS y FROM pngx
+      |),
+      |png AS (
+      |  SELECT event_id,
+      |    CAST(sum((sb + x + 2 * y) % 256) AS BIGINT) AS sum_r,
+      |    CAST(sum((sb + 3 * x + y) % 256) AS BIGINT) AS sum_g,
+      |    CAST(sum((sb + x + y) % 256) AS BIGINT) AS sum_b
+      |  FROM pngxy GROUP BY event_id
+      |),
+      |wavi AS (
+      |  SELECT event_id, sb, nf * ch AS n, unnest(generate_series(0, nf * ch - 1)) AS i
+      |  FROM ev WHERE event_id % 3 = 0
+      |),
+      |wav AS (
+      |  SELECT event_id, max(n) AS n_samples,
+      |    CAST(sum(abs((sb * 97 + i * 37) % 65536 - 32768)) AS BIGINT) AS sum_abs,
+      |    CAST(max(abs((sb * 97 + i * 37) % 65536 - 32768)) AS BIGINT) AS peak
+      |  FROM wavi GROUP BY event_id
+      |)
+      |SELECT e.event_id,
+      |  CASE WHEN e.event_id % 3 <> 0 THEN 'image/png' ELSE 'audio/wav' END AS media_kind,
+      |  CASE WHEN e.event_id % 3 <> 0 THEN e.w END AS width,
+      |  CASE WHEN e.event_id % 3 <> 0 THEN e.h END AS height,
+      |  p.sum_r, p.sum_g, p.sum_b,
+      |  CASE WHEN e.event_id % 3 <> 0 THEN 255 * e.w * e.h END AS sum_a,
+      |  v.n_samples, v.sum_abs, v.peak
+      |FROM ev e
+      |LEFT JOIN png p ON e.event_id = p.event_id
+      |LEFT JOIN wav v ON e.event_id = v.event_id""".stripMargin
+
   /** Twin of Docs.fingerprintMod: per-character base-31 polynomial rolling
     * hash mod 1e9+7, folded left-to-right (list_reduce with a prepended 0
     * init, exactly Spark's aggregate(chars, 0, pmod(acc·31 + c, p))).

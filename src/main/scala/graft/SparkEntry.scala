@@ -328,6 +328,39 @@ object SparkEntry {
           bround(avg("mean_level"), 2).as("avg_pixel_level"),
           bround(avg("mean_amplitude"), 2).as("avg_amplitude"),
           max("peak").as("max_peak"))),
+    "media_pixels" -> ((s, d) => {
+      // pixel/sample CONTENT decode under the EXACT oracle: containers are
+      // fully real (cycling PNG filters, real zlib IDAT, real CRCs;
+      // canonical RIFF/WAVE) but carry a linear-mod-256 content pattern, so
+      // DuckDB recomputes the DECODED channel/amplitude sums analytically
+      // from the same event_id arithmetic — end-to-end verification of the
+      // inflate + all-five-filter unfilter and RIFF-walk + LE PCM kernels
+      import graft.functions.{PngImageLinExpr, PngStatsExpr, WavAudioLinExpr, WavStatsExpr}
+      val isPng = col("event_id") % 3 =!= 0
+      val w = (col("event_id") % 32 + 8).cast("int")
+      val h = (col("event_id") % 24 + 8).cast("int")
+      val ch = when(col("event_id") % 6 === 0, 1).otherwise(2).cast("int")
+      val nf = (col("event_id") % 300 + 64).cast("int")
+      val payload = when(isPng, PngImageLinExpr(w, h, col("event_id")))
+        .otherwise(WavAudioLinExpr(lit(44100), ch, nf, col("event_id")))
+      Tables.events(s, d).where(col("event_id") % 20 === 0)
+        .select(col("event_id"), payload.as("payload"))
+        .select(col("event_id"),
+          PngStatsExpr(col("payload")).as("px"),
+          WavStatsExpr(col("payload")).as("au"))
+        .select(
+          col("event_id"),
+          when(isPng, lit("image/png")).otherwise("audio/wav").as("media_kind"),
+          when(isPng, col("px.width").cast("long")).as("width"),
+          when(isPng, col("px.height").cast("long")).as("height"),
+          when(isPng, col("px.sum_r")).as("sum_r"),
+          when(isPng, col("px.sum_g")).as("sum_g"),
+          when(isPng, col("px.sum_b")).as("sum_b"),
+          when(isPng, col("px.sum_a")).as("sum_a"),
+          when(!isPng, col("au.n_samples")).as("n_samples"),
+          when(!isPng, col("au.sum_abs")).as("sum_abs"),
+          when(!isPng, col("au.peak").cast("long")).as("peak"))
+    }),
     "media_meta" -> ((s, d) => {
       // REAL container-header decode: synthesize actual PNG/WAV headers
       // from event_id arithmetic, parse them back with the byte-expression
@@ -1067,6 +1100,7 @@ object SparkEntry {
            |       count(*) AS n_pages, count(DISTINCT url) AS n_urls
            |FROM gg GROUP BY 1""".stripMargin
       },
+      "media_pixels" -> OracleSql.mediaPixelsSql,
       "media_meta" ->
         """SELECT event_id,
           |  CASE WHEN event_id % 3 <> 0 THEN 'image/png' ELSE 'audio/wav' END AS sniffed_type,

@@ -86,11 +86,42 @@ object MediaImpl {
     raw
   }
 
+  /** Linear-mod-256 RGBA rows (sb = seed mod 256): channels are small
+    * affine functions of (x, y), so an independent engine (the DuckDB
+    * oracle) can recompute the DECODED channel sums analytically — the
+    * container, filter cycling, and zlib stream stay exactly as real as
+    * [[rawImage]]'s; only the pixel pattern is simpler.
+    */
+  def rawImageLin(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val sb = (((seed % 256) + 256) % 256).toInt
+    val raw = new Array[Byte](h * w * 4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 4
+        raw(o) = ((sb + x + 2 * y) % 256).toByte
+        raw(o + 1) = ((sb + 3 * x + y) % 256).toByte
+        raw(o + 2) = ((sb + x + y) % 256).toByte
+        raw(o + 3) = 255.toByte
+        x += 1
+      }
+      y += 1
+    }
+    raw
+  }
+
   /** Spec-correct PNG encode of the deterministic image: filters cycle
     * 0,1,2,3,4 by row; single zlib IDAT; real CRCs.
     */
-  def pngEncode(w: Int, h: Int, seed: Long): Array[Byte] = {
-    val raw = rawImage(w, h, seed)
+  def pngEncode(w: Int, h: Int, seed: Long): Array[Byte] =
+    pngEncodeRaw(w, h, rawImage(w, h, seed))
+
+  /** [[pngEncode]] with the analytically-recomputable pixel pattern. */
+  def pngEncodeLin(w: Int, h: Int, seed: Long): Array[Byte] =
+    pngEncodeRaw(w, h, rawImageLin(w, h, seed))
+
+  def pngEncodeRaw(w: Int, h: Int, raw: Array[Byte]): Array[Byte] = {
     val stride = w * 4
     val filtered = new Array[Byte](h * (1 + stride))
     var y = 0
@@ -273,9 +304,30 @@ object MediaImpl {
     s
   }
 
+  /** Linear-mod PCM samples (sb = seed mod 256): v_i = ((sb·97 + i·37) mod
+    * 65536) − 32768, recomputable analytically by the oracle (see
+    * [[rawImageLin]]).
+    */
+  def rawSamplesLin(nFrames: Int, channels: Int, seed: Long): Array[Short] = {
+    val sb = ((seed % 256) + 256) % 256
+    val s = new Array[Short](nFrames * channels)
+    var i = 0
+    while (i < s.length) {
+      s(i) = (((sb * 97L + i * 37L) % 65536L) - 32768L).toShort
+      i += 1
+    }
+    s
+  }
+
   /** Canonical RIFF/WAVE PCM file with REAL sample data. */
-  def wavEncode(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {
-    val samples = rawSamples(nFrames, channels, seed)
+  def wavEncode(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] =
+    wavEncodeRaw(sampleRate, channels, rawSamples(nFrames, channels, seed))
+
+  /** [[wavEncode]] with the analytically-recomputable sample pattern. */
+  def wavEncodeLin(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] =
+    wavEncodeRaw(sampleRate, channels, rawSamplesLin(nFrames, channels, seed))
+
+  def wavEncodeRaw(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
     val out = new Array[Byte](44 + dataLen)
     def asc(off: Int, sIn: String): Unit = { val b = sIn.getBytes(StandardCharsets.US_ASCII); System.arraycopy(b, 0, out, off, b.length) }
@@ -392,6 +444,64 @@ object WavAudioExpr {
   import org.apache.spark.sql.graft.ColumnBridge
   def apply(sr: Column, ch: Column, nFrames: Column, seed: Column): Column =
     ColumnBridge.column(WavAudioExpr(
+      ColumnBridge.expression(sr.cast("int")), ColumnBridge.expression(ch.cast("int")),
+      ColumnBridge.expression(nFrames.cast("int")), ColumnBridge.expression(seed.cast("long"))))
+}
+
+/** (w, h, seed) → real PNG bytes with the linear oracle-twin pixel pattern. */
+case class PngImageLinExpr(wE: Expression, hE: Expression, seedE: Expression) extends TernaryExpression {
+  override def first: Expression = wE
+  override def second: Expression = hE
+  override def third: Expression = seedE
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "png_image_lin"
+
+  protected override def nullSafeEval(w: Any, h: Any, s: Any): Any =
+    MediaImpl.pngEncodeLin(w.asInstanceOf[Int], h.asInstanceOf[Int], s.asInstanceOf[Long])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, h, s) => s"graft.functions.MediaImpl.pngEncodeLin($w, $h, $s)")
+
+  protected override def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): PngImageLinExpr =
+    copy(wE = f, hE = s, seedE = t)
+}
+
+object PngImageLinExpr {
+  import org.apache.spark.sql.graft.ColumnBridge
+  def apply(w: Column, h: Column, seed: Column): Column =
+    ColumnBridge.column(PngImageLinExpr(
+      ColumnBridge.expression(w.cast("int")),
+      ColumnBridge.expression(h.cast("int")),
+      ColumnBridge.expression(seed.cast("long"))))
+}
+
+/** (sampleRate, channels, nFrames, seed) → real WAV bytes, linear samples. */
+case class WavAudioLinExpr(srE: Expression, chE: Expression, nE: Expression, seedE: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = srE
+  override def second: Expression = chE
+  override def third: Expression = nE
+  override def fourth: Expression = seedE
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wav_audio_lin"
+
+  protected override def nullSafeEval(sr: Any, ch: Any, n: Any, s: Any): Any =
+    MediaImpl.wavEncodeLin(sr.asInstanceOf[Int], ch.asInstanceOf[Int],
+      n.asInstanceOf[Int], s.asInstanceOf[Long])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sr, ch, n, s) => s"graft.functions.MediaImpl.wavEncodeLin($sr, $ch, $n, $s)")
+
+  protected override def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): WavAudioLinExpr =
+    copy(srE = f, chE = s, nE = t, seedE = q)
+}
+
+object WavAudioLinExpr {
+  import org.apache.spark.sql.graft.ColumnBridge
+  def apply(sr: Column, ch: Column, nFrames: Column, seed: Column): Column =
+    ColumnBridge.column(WavAudioLinExpr(
       ColumnBridge.expression(sr.cast("int")), ColumnBridge.expression(ch.cast("int")),
       ColumnBridge.expression(nFrames.cast("int")), ColumnBridge.expression(seed.cast("long"))))
 }

@@ -107,6 +107,24 @@ class MultimodalSpec extends SparkSpec {
     assert(s.getInt(3) === expect.map(v => math.abs(v.toInt)).max)
   }
 
+  test("linear-content containers decode to the analytic sums (oracle pattern)") {
+    import graft.functions.MediaImpl
+    val (w, h, seed) = (11, 7, 300L) // sb = 44
+    val r = MediaImpl.pngStats(MediaImpl.pngEncodeLin(w, h, seed))
+    assert(r.getBoolean(0))
+    def cs(f: (Int, Int) => Int): Long =
+      (for { y <- 0 until h; x <- 0 until w } yield f(x, y).toLong).sum
+    assert(r.getLong(3) === cs((x, y) => (44 + x + 2 * y) % 256))     // sum_r
+    assert(r.getLong(4) === cs((x, y) => (44 + 3 * x + y) % 256))     // sum_g
+    assert(r.getLong(5) === cs((x, y) => (44 + x + y) % 256))         // sum_b
+    assert(r.getLong(6) === 255L * w * h)                             // sum_a
+    val wv = MediaImpl.wavStats(MediaImpl.wavEncodeLin(44100, 2, 50, seed))
+    val expect = (0 until 100).map(i => math.abs((44L * 97 + i * 37) % 65536 - 32768))
+    assert(wv.getLong(1) === 100L)
+    assert(wv.getLong(2) === expect.sum)
+    assert(wv.getInt(3) === expect.max.toInt)
+  }
+
   test("malformed containers are rejected, never looped or overread") {
     import graft.functions.MediaImpl
     // WAV whose first chunk declares length -8: the RIFF-walk advance would
