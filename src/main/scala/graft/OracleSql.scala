@@ -506,6 +506,64 @@ object OracleSql {
        |FROM pts p JOIN coordlab c ON p.lat = c.lat AND p.lon = c.lon
        |GROUP BY c.label""".stripMargin
 
+  /** Twin of the gps_user_dbscan query — [[dbscanSummarySql]] partitioned
+    * per user and restricted to CORE points. Why this is exact where full
+    * per-user sklearn labels are not: border labels depend on cluster scan
+    * order, but core membership is a canonical partition, and with input
+    * sorted by event_id sklearn numbers clusters in first-core-seed order —
+    * i.e. label = rank of the cluster's minimum core uid (uid = min
+    * event_id per coordinate; event_ids are globally unique, so the
+    * recursive walk can join on uid alone while edges stay within-user).
+    */
+  def userDbscanSql(epsLit: String, minSamples: Int): String =
+    s"""WITH RECURSIVE $gpsCte,
+       |pts AS (SELECT user_id, event_id AS id, lat, lon FROM gps),
+       |uniq AS MATERIALIZED (
+       |  SELECT user_id, lat, lon, min(id) AS uid, count(*) AS w,
+       |    CAST(floor(lat / $epsLit) AS BIGINT) AS cy,
+       |    CAST(floor(lon / $epsLit) AS BIGINT) AS cx
+       |  FROM pts GROUP BY user_id, lat, lon
+       |),
+       |offs AS (SELECT dy.d AS dy, dx.d AS dx FROM (VALUES (-1), (0), (1)) dy(d), (VALUES (-1), (0), (1)) dx(d)),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.user_id, a.uid AS a_uid, b.uid AS b_uid, b.w AS b_w
+       |  FROM uniq a JOIN offs o ON true
+       |  JOIN uniq b ON b.user_id = a.user_id AND b.cy = a.cy + o.dy AND b.cx = a.cx + o.dx
+       |  WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) <= ($epsLit * $epsLit)
+       |),
+       |core AS MATERIALIZED (
+       |  SELECT user_id, a_uid AS uid FROM pairs GROUP BY user_id, a_uid HAVING sum(b_w) >= $minSamples
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT p.user_id, p.a_uid, p.b_uid FROM pairs p
+       |  JOIN core c1 ON p.user_id = c1.user_id AND p.a_uid = c1.uid
+       |  JOIN core c2 ON p.user_id = c2.user_id AND p.b_uid = c2.uid
+       |  WHERE p.a_uid <> p.b_uid
+       |),
+       |walk AS (
+       |  SELECT user_id, uid, uid AS comp FROM core
+       |  UNION
+       |  SELECT e.user_id, e.a_uid AS uid, w.comp FROM edges e JOIN walk w ON w.uid = e.b_uid
+       |  WHERE w.comp < e.a_uid
+       |),
+       |comp AS MATERIALIZED (SELECT user_id, uid, min(comp) AS comp FROM walk GROUP BY user_id, uid),
+       |ranked AS MATERIALIZED (
+       |  SELECT user_id, comp, CAST(row_number() OVER (PARTITION BY user_id ORDER BY cmin) - 1 AS BIGINT) AS label
+       |  FROM (SELECT user_id, comp, min(uid) AS cmin FROM comp GROUP BY user_id, comp) t
+       |),
+       |corelab AS MATERIALIZED (
+       |  SELECT c.user_id, u.lat, u.lon, r.label
+       |  FROM comp c
+       |  JOIN ranked r ON c.user_id = r.user_id AND c.comp = r.comp
+       |  JOIN uniq u ON c.user_id = u.user_id AND c.uid = u.uid
+       |)
+       |SELECT l.user_id, l.label, count(*) AS n_core,
+       |  min(p.id) AS min_id, max(p.id) AS max_id, CAST(sum(p.id) AS BIGINT) AS id_sum,
+       |  min(p.lat) AS lat_min, max(p.lat) AS lat_max,
+       |  min(p.lon) AS lon_min, max(p.lon) AS lon_max
+       |FROM pts p JOIN corelab l ON p.user_id = l.user_id AND p.lat = l.lat AND p.lon = l.lon
+       |GROUP BY l.user_id, l.label""".stripMargin
+
   /** Twin of the emb_lsh_fixed query: single-table hyperplane LSH over a
     * literal integer plane matrix — signature bits from exact-ordered dot
     * folds (disjoint bit values, SUM ≡ Spark's OR fold), bucket equi-join,

@@ -201,6 +201,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_points"),
           bround(avg("distance_from_home"), 0).as("avg_dfh_m"))
     }),
+    "gps_user_dbscan" -> ((s, d) =>
+      // per-user sklearn DBSCAN with MEMBERSHIP pinned per (user, label):
+      // core membership and scan-order core labels are order-independent
+      // (label k = rank of the cluster's min core event_id), so the whole
+      // per-user kernel runs under the exact oracle — the per-user twin of
+      // dbscan_distributed's membership-pinning discipline
+      operators.Clustering.userDbscanCores(Tables.gps(s, d), eps = 0.005, minSamples = 20)
+        .groupBy(col("user_id"), col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_core"), min("event_id").as("min_id"),
+          max("event_id").as("max_id"), sum("event_id").as("id_sum"),
+          // exact bounding box, NOT a rounded avg centroid: the per-user
+          // means sit on .00005 rounding ties (half-even vs half-away),
+          // while min/max are order-independent and bit-identical doubles
+          min("lat").as("lat_min"), max("lat").as("lat_max"),
+          min("lon").as("lon_min"), max("lon").as("lon_max"))),
     "gps_full_pipeline" -> ((s, d) => {
       // velocities → home/work/x-cluster labels → sessionized visits →
       // per-cluster visit statistics: the reference's §3.1 lifecycle
@@ -1274,6 +1289,7 @@ object SparkEntry {
       // components, min-comp border attach, min-uid label order), so the
       // whole clustering — not just a summary — runs under the exact gate
       "dbscan_distributed" -> OracleSql.dbscanSummarySql("5e-3", minSamples = 50),
+      "gps_user_dbscan" -> OracleSql.userDbscanSql("5e-3", minSamples = 20),
       "emb_dedup" -> OracleSql.embDedupSql(Similarity.fixedIntPlanes(64, 4), "0.4e0")
     )
   }

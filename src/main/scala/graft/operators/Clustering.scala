@@ -313,6 +313,37 @@ object Clustering {
       }
   }
 
+  case class CorePoint(user_id: Long, label: Int, event_id: Long, lat: Double, lon: Double)
+
+  /** Per-user sklearn DBSCAN, CORE points only: (user_id, label, event_id,
+    * lat, lon). Each group is sorted by event_id before the kernel runs, so
+    * sklearn's scan-order cluster numbering equals the rank of each
+    * cluster's minimum core event_id — core membership and core labels are
+    * therefore order-independent (only border labels depend on scan order),
+    * which is what makes the per-(user, label) summary exactly
+    * SQL-expressible (OracleSql.userDbscanSql, the per-user twin of the
+    * dbscan_distributed recursive-CTE oracle). One shuffle on user_id; the
+    * grid-bucketed kernel runs per group — users are independent, so this
+    * is exact AND embarrassingly parallel.
+    */
+  def userDbscanCores(points: DataFrame, eps: Double = 0.005, minSamples: Int = 100)
+      : Dataset[CorePoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("lat").cast("double"), col("lon").cast("double"))
+      .as[(Long, Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (u, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val (labels, core) = Dbscan.runWithCore(rows.map(r => (r._3, r._4)), eps, minSamples)
+        rows.indices.iterator.filter(core(_)).map { i =>
+          CorePoint(u, labels(i), rows(i)._2, rows(i)._3, rows(i)._4)
+        }
+      }
+  }
+
   // the most recent persisted tagged frame; each clustersWithContext call
   // releases its predecessor so repeated invocations (bench rounds, long
   // sessions) hold at most ONE cached copy instead of accumulating blocks

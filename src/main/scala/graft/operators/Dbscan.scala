@@ -30,10 +30,22 @@ object Dbscan {
     * streams are heavily lattice-valued, so this collapses the O(dense-site²)
     * neighbor lists that dominated per-user cost.
     */
-  def run(pts: Array[(Double, Double)], eps: Double = 0.005, minSamples: Int = 100): Array[Int] = {
+  def run(pts: Array[(Double, Double)], eps: Double = 0.005, minSamples: Int = 100): Array[Int] =
+    runWithCore(pts, eps, minSamples)._1
+
+  /** [[run]] plus per-point core flags (weighted neighborhood ≥ minSamples,
+    * counting the point itself — sklearn's core_sample_indices_). Core
+    * membership and the label of every core point are order-independent
+    * (only border labels depend on scan order), which is what makes a
+    * per-(user, label) core summary exactly SQL-expressible: with input
+    * sorted by a unique id, sklearn's cluster numbering is the rank of each
+    * cluster's minimum core id (seeds scan in first-occurrence order).
+    */
+  def runWithCore(pts: Array[(Double, Double)], eps: Double = 0.005,
+                  minSamples: Int = 100): (Array[Int], Array[Boolean]) = {
     val n = pts.length
     val labels = Array.fill(n)(-1)
-    if (n < 2) return labels
+    if (n < 2) return (labels, Array.fill(n)(false))
 
     val eps2 = eps * eps
     // collapse exact duplicates; uid order = first-occurrence (= min input
@@ -110,8 +122,9 @@ object Dbscan {
       u += 1
     }
     i = 0
-    while (i < n) { labels(i) = ulabels(uidOf(i)); i += 1 }
-    labels
+    val core = new Array[Boolean](n)
+    while (i < n) { labels(i) = ulabels(uidOf(i)); core(i) = isCore(uidOf(i)); i += 1 }
+    (labels, core)
   }
 
   /** Most frequent non-noise label; ties break to the smallest label

@@ -41,6 +41,50 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming NEAR-dup drop: the batch minhash→band→bucket pipeline
+    * (Docs.minHashSignature / minHashCandidates) as a within-watermark
+    * stream filter. Each doc's 16-permutation signature splits into `bands`
+    * band hashes; a doc sharing ≥1 band bucket with an earlier in-horizon
+    * doc is a near-dup candidate and is dropped.
+    *
+    * Mechanics: explode to (doc, band) rows → dropDuplicatesWithinWatermark
+    * on (band_idx, band_hash) keeps only each bucket's FIRST row → a
+    * windowed per-doc re-count: a doc that was first in ALL `bands` buckets
+    * survives; any collision removed ≥1 of its rows → dropped. Chaining the
+    * dedup state into a watermarked window aggregation is append-mode legal
+    * (Spark's multiple-stateful-operator support); state is one row per
+    * distinct in-horizon band bucket plus the open windows — bounded by the
+    * watermark horizon, same posture as [[dedupDocs]]. Bucket state evicts
+    * as the watermark passes, so a near-dup beyond the horizon re-emits and
+    * is reconciled by the idempotent sink upsert, exactly like the batch
+    * operator re-run on a later partition.
+    *
+    * Input: streaming DataFrame with (doc_id, ts, text). Output: kept docs
+    * as (doc_id, ts = window start, text), emitted on window close.
+    */
+  def nearDedupDocs(stream: DataFrame, bands: Int = 4,
+                    watermark: String = "10 minutes",
+                    window_ : String = "1 minute"): DataFrame = {
+    require(graft.functions.MinHashImpl.NumHashes % bands == 0, "bands must divide NumHashes")
+    val bandSize = graft.functions.MinHashImpl.NumHashes / bands
+    // signature staged as its own projection (not inlined into the HOF —
+    // expressions referenced inside HOF lambdas re-evaluate per element)
+    val banded = stream
+      .select(col("doc_id"), col("ts"), col("text"),
+        graft.functions.MinHashSigExpr(col("text")).as("signature"))
+      .select(col("doc_id"), col("ts"), col("text"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("signature"), b * bandSize + 1, lit(bandSize)))))
+          .as(Seq("band_idx", "band_hash")))
+    banded
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("band_idx", "band_hash")
+      .groupBy(window(col("ts"), window_), col("doc_id"))
+      .agg(count(lit(1)).as("bands_won"), first(col("text")).as("text"))
+      .where(col("bands_won") === bands)
+      .select(col("doc_id"), col("window.start").as("ts"), col("text"))
+  }
+
   case class StreamPoint(user_id: Long, ts: Timestamp, lat: Double, lon: Double, cid: String)
   case class OpenVisit(cid: String, timeIn: Long, timeOut: Long, nPoints: Long)
   case class Visit(user_id: Long, cid: String, time_in: Timestamp, time_out: Timestamp, n_points: Long)

@@ -173,6 +173,42 @@ class ClusteringSpec extends SparkSpec {
     assert(recs2.filter(_.event_id >= 2000).forall(r => r.cid == "xNot" || r.cid == "home"))
   }
 
+  test("runWithCore: core flags match brute-force weighted degree; core labels are scan-order") {
+    // two dense blobs + noise; duplicates exercise the weighted reduction
+    val pts = ((0 until 30).map(i => (40.0 + (i % 5) * 1e-3, -75.0)) ++
+      (0 until 25).map(i => (40.1 + (i % 5) * 1e-3, -75.1)) ++
+      Seq((50.0, 10.0), (60.0, 20.0))).toArray
+    val (labels, core) = Dbscan.runWithCore(pts, eps = 0.005, minSamples = 10)
+    // brute-force core: |{j : dist² ≤ eps²}| ≥ minSamples (incl. self)
+    pts.indices.foreach { i =>
+      val deg = pts.count { p =>
+        val dy = pts(i)._1 - p._1; val dx = pts(i)._2 - p._2
+        dy * dy + dx * dx <= 0.005 * 0.005
+      }
+      assert(core(i) === (deg >= 10), s"core flag at $i")
+    }
+    // scan-order numbering: first blob is cluster 0, second is 1; noise -1
+    assert(pts.indices.filter(core).map(labels).toSet === Set(0, 1))
+    assert(labels(0) === 0 && labels(35) === 1 && labels(55) === -1 && labels(56) === -1)
+    // labels(i) for core i equals rank of the cluster's min core index
+    val minCoreByLabel = pts.indices.filter(core).groupBy(labels).view.mapValues(_.min).toMap
+    assert(minCoreByLabel.toSeq.sortBy(_._2).map(_._1) === Seq(0, 1))
+  }
+
+  test("userDbscanCores: per-user core membership matches the local kernel") {
+    val rows = (0 until 40).map { i =>
+      (1L, i.toLong, 40.0 + (i % 4) * 1e-3, -75.0)
+    } ++ (0 until 40).map { i =>
+      (2L, (100 + i).toLong, 41.0 + (i % 4) * 1e-3, -76.0)
+    } ++ Seq((1L, 500L, 55.0, 5.0)) // isolated noise point, never core
+    val df = rows.toDF("user_id", "event_id", "lat", "lon")
+    val out = Clustering.userDbscanCores(df, eps = 0.005, minSamples = 10).collect()
+    assert(out.forall(_.label === 0)) // one cluster per user
+    assert(out.filter(_.user_id == 1L).map(_.event_id).sorted.toSeq === (0L until 40L))
+    assert(out.filter(_.user_id == 2L).map(_.event_id).sorted.toSeq === (100L until 140L))
+    assert(!out.exists(_.event_id == 500L))
+  }
+
   test("spark wiring: clustersWithContext runs per user") {
     val rows = (0 until 100).flatMap(_ => fixtureLats).zipWithIndex.flatMap { case (l, i) =>
       Seq(

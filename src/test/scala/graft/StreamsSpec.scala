@@ -78,6 +78,46 @@ class StreamsSpec extends SparkSpec {
     assert(w855.length === 1 && w855(0).getAs[Long]("n_points") === 1L) // in-watermark row kept
   }
 
+  test("streaming near-dup drops a band-colliding doc inside the watermark, keeps it outside") {
+    implicit val sqlCtx = spark.sqlContext
+    // fixture: near-identical texts that share ≥1 signature band — pre-asserted
+    // against the BATCH pipeline so the fixture is self-validating and the
+    // stream filter is pinned to the same minhash/banding mechanics
+    val base = "the quick brown fox jumps over the lazy dog while the rain falls on the plain in spain"
+    val near = base + " today" // shares 16 of 17 3-gram shingles
+    val sigs = operators.Docs.minHashSignature(
+      Seq((1L, base), (2L, near)).toDF("doc_id", "text"))
+    assert(operators.Docs.minHashCandidates(sigs).count() === 1L,
+      "fixture texts must band-collide in the batch pipeline")
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.nearDedupDocs(df)
+      .writeStream.format("memory").queryName("neardedup").outputMode("append").start()
+    input.addData((1L, ts("2024-01-01 08:00:00"), base))
+    q.processAllAvailable()
+    // near-dup INSIDE the horizon: ≥1 of its band buckets is already held
+    // by doc 1 → dropped
+    input.addData((2L, ts("2024-01-01 08:05:00"), near))
+    q.processAllAvailable()
+    // advance the watermark to 09:20 → doc 1/2 bucket state (expiry ≤08:15) evicts
+    input.addData((3L, ts("2024-01-01 09:30:00"),
+      "completely different content about spark catalyst optimizer internals and codegen"))
+    q.processAllAvailable()
+    // the SAME near-dup text beyond the horizon: buckets evicted → kept
+    input.addData((4L, ts("2024-01-01 09:25:00"), near))
+    q.processAllAvailable()
+    // close all windows
+    input.addData((5L, ts("2024-01-01 11:00:00"),
+      "closing sentinel document to advance the watermark far beyond everything"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM neardedup ORDER BY doc_id").collect().map(_.getLong(0))
+    q.stop()
+    assert(kept.contains(1L), "first doc kept")
+    assert(!kept.contains(2L), "in-horizon near-dup dropped")
+    assert(kept.contains(4L), "beyond-horizon near-dup re-emitted")
+  }
+
   test("streaming sessionization closes visits on cid change") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.StreamPoint]
