@@ -76,11 +76,16 @@ object Streams {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("signature"), b * bandSize + 1, lit(bandSize)))))
           .as(Seq("band_idx", "band_hash")))
+      // the text payload rides ONLY the band-0 row (not ×bands through the
+      // shuffle): a kept doc by definition kept ALL its band rows, so its
+      // band-0 text always reaches the regroup; a doc that lost any row is
+      // filtered out regardless of which row carried the text
+      .withColumn("text", when(col("band_idx") === 0, col("text")))
     banded
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("band_idx", "band_hash")
       .groupBy(window(col("ts"), window_), col("doc_id"))
-      .agg(count(lit(1)).as("bands_won"), first(col("text")).as("text"))
+      .agg(count(lit(1)).as("bands_won"), first(col("text"), ignoreNulls = true).as("text"))
       .where(col("bands_won") === bands)
       .select(col("doc_id"), col("window.start").as("ts"), col("text"))
   }

@@ -111,11 +111,15 @@ class StreamsSpec extends SparkSpec {
     input.addData((5L, ts("2024-01-01 11:00:00"),
       "closing sentinel document to advance the watermark far beyond everything"))
     q.processAllAvailable()
-    val kept = spark.sql("SELECT doc_id FROM neardedup ORDER BY doc_id").collect().map(_.getLong(0))
+    val keptRows = spark.sql("SELECT doc_id, text FROM neardedup ORDER BY doc_id").collect()
+    val kept = keptRows.map(_.getLong(0))
     q.stop()
     assert(kept.contains(1L), "first doc kept")
     assert(!kept.contains(2L), "in-horizon near-dup dropped")
     assert(kept.contains(4L), "beyond-horizon near-dup re-emitted")
+    // the text payload rides only the band-0 row — kept docs must still carry it
+    assert(keptRows.forall(_.getString(1) != null), "kept docs retain their text")
+    assert(keptRows.find(_.getLong(0) == 4L).get.getString(1) === near)
   }
 
   test("streaming sessionization closes visits on cid change") {
