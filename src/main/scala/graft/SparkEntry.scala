@@ -486,6 +486,11 @@ object SparkEntry {
       Docs.dedupExact(Tables.documents(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
     "doc_lang" -> ((s, d) => Docs.langScores(Tables.documents(s, d))),
+    "doc_filter_pipeline" -> ((s, d) =>
+      // the C4/CCNet cleaning pipeline end-to-end in one plan: exact dedup
+      // → quality gates → language argmax → membership-pinning summary;
+      // every stage exact cross-engine arithmetic → whole-pipeline oracle
+      Docs.filterPipeline(Tables.documents(s, d))),
     "doc_minhash" -> ((s, d) =>
       Docs.minHashCandidates(Docs.minHashSignature(Tables.documents(s, d)))),
     "doc_minhash_md5" -> ((s, d) =>
@@ -1220,6 +1225,44 @@ object SparkEntry {
         s"""SELECT doc_id, lang AS actual_lang,
            |$scores
            |FROM documents""".stripMargin
+      },
+      "doc_filter_pipeline" -> {
+        val langs = Docs.LangMarkers.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (lang, pats) =>
+          val terms = pats.map(p =>
+            s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$p', ''))) / ${p.length}")
+            .mkString(" + ")
+          s"    CAST($terms AS BIGINT) AS s_$lang"
+        }.mkString(",\n")
+        val bestExpr = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+        val predCase = langs.map { case (lang, _) =>
+          s"WHEN s_$lang = $bestExpr THEN '$lang'" }.mkString(" ")
+        s"""WITH keep AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM documents) t WHERE rn = 1
+           |),
+           |g AS (
+           |  SELECT doc_id, text,
+           |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           |    CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS cpt,
+           |    CAST(length(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+           |      / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dr
+           |  FROM keep
+           |),
+           |s AS (
+           |  SELECT doc_id, n_tokens,
+           |$scoreCols
+           |  FROM g WHERE n_tokens BETWEEN 20 AND 80 AND cpt < 5.5e0 AND dr > 0.5e0
+           |),
+           |p AS (
+           |  SELECT doc_id, n_tokens,
+           |    CASE WHEN $bestExpr <= 0 THEN 'und' ELSE (CASE $predCase END) END AS pred_lang
+           |  FROM s
+           |)
+           |SELECT pred_lang, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           |  CAST(sum(doc_id) AS BIGINT) AS doc_id_sum, CAST(sum(n_tokens) AS BIGINT) AS tokens_sum
+           |FROM p GROUP BY pred_lang""".stripMargin
       },
 
       "doc_jaccard_exact" ->

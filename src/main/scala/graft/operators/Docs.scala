@@ -37,6 +37,45 @@ object Docs {
     docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
   }
 
+  /** The canonical webtext cleaning pipeline in ONE distributed plan
+    * (the C4/CCNet shape): exact dedup (min-doc_id per content digest) →
+    * quality gates (token count in [minTokens, maxTokens], chars/token
+    * < 5.5, distinct-token ratio > 0.5) → language-ID argmax over the
+    * integer marker scores (lexicographically-smallest language on ties,
+    * 'und' when no marker hits) → per-language membership-pinning summary
+    * (n, min/max/sum doc_id, token sum).
+    *
+    * Every stage is exact cross-engine arithmetic (md5 digest, integer
+    * counts, one-IEEE-division ratios compared against binary-exact
+    * literals), so the WHOLE pipeline runs under the DuckDB oracle. Scale
+    * shape: one uniform digest shuffle for dedup + one final tiny
+    * aggregation; the gates and scores are pure projections.
+    */
+  def filterPipeline(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 80): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val gated = dedupExact(docs)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("chars_per_token",
+        length(col("text")).cast("double") / size(toks).cast("double"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .where(col("n_tokens").between(minTokens, maxTokens) &&
+        col("chars_per_token") < lit(5.5) && col("distinct_ratio") > lit(0.5))
+    val langs = LangMarkers.keys.toSeq.sorted
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scored = langs.foldLeft(gated) { (df, l) =>
+      df.withColumn(s"s_$l",
+        LangMarkers(l).map(p => substrCount(padded, p)).reduce(_ + _).cast("long"))
+    }
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = when(best <= 0, lit("und"))
+      .otherwise(coalesce(langs.map(l => when(col(s"s_$l") === best, lit(l))): _*))
+    scored.groupBy(pred.as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"), sum("doc_id").as("doc_id_sum"),
+        sum("n_tokens").as("tokens_sum"))
+  }
+
   /** Word-shingles of size n from a pre-tokenized array column — the HOF
     * reference formulation, retained as the executable spec the compiled
     * kernel is pinned against (TextKernelSpec). The token array MUST be a

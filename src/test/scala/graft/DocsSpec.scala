@@ -159,4 +159,32 @@ class DocsSpec extends SparkSpec {
     // and with the cap above the bucket size the pairs reappear
     assert(Docs.minHashCandidates(sigs, maxBucket = 10).count() === 10L) // C(5,2)
   }
+
+  test("filterPipeline: dedup, gates and language argmax compose end-to-end") {
+    // 26 tokens, 21 distinct (ratio 0.81), 4.73 chars/token, en markers win
+    val enText = "the quick brown fox and the lazy dog of the old farm ran over " +
+      "green hills and the sun set of evening while birds sang songs"
+    // 23 tokens, de markers (der ×2, und ×2, die ×2) win
+    val deText = "der hund und die katze der vogel und die maus hier laufen " +
+      "schnell durch den garten wo blumen stehen am alten zaun heute"
+    // 22 distinct tokens, none a language marker → 'und'
+    val undText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    val rows = Seq(
+      (1L, enText),             // kept, en
+      (2L, enText),             // exact dup of 1 → dropped by dedup
+      (3L, deText),             // kept, de
+      (4L, "short text"),       // 2 tokens < 20 → gated out
+      (5L, ("rep " * 30).trim), // distinct_ratio 1/30 → gated out
+      (6L, undText)             // kept, no markers → und
+    ).toDF("doc_id", "text")
+    val out = Docs.filterPipeline(rows).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("en", "de", "und"))
+    assert(out("en").getAs[Long]("n_docs") === 1L)
+    assert(out("en").getAs[Long]("min_doc") === 1L) // the dup kept the LOWER id
+    assert(out("en").getAs[Long]("tokens_sum") === 26L)
+    assert(out("de").getAs[Long]("doc_id_sum") === 3L)
+    assert(out("und").getAs[Long]("min_doc") === 6L)
+  }
 }
