@@ -186,5 +186,12 @@ class DocsSpec extends SparkSpec {
     assert(out("en").getAs[Long]("tokens_sum") === 26L)
     assert(out("de").getAs[Long]("doc_id_sum") === 3L)
     assert(out("und").getAs[Long]("min_doc") === 6L)
+
+    // scale shape pinned at the plan level: at most TWO exchanges — the
+    // digest shuffle for dedup and the final tiny summary aggregation; the
+    // gates and language scores must stay pure projections between them
+    val plan = Docs.filterPipeline(rows).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length <= 2,
+      s"filterPipeline should shuffle exactly twice (dedup digest + summary):\n$plan")
   }
 }
