@@ -7,9 +7,19 @@ import org.apache.spark.sql.SparkSession
   * 4× — see CLAUDE.md): queries run `reps` INTERLEAVED repetitions
   * (q1..qn, q1..qn, …) so a host stall hits one rep of many queries instead
   * of all reps of one; the reported per-query figure is the MEDIAN across
-  * reps; and the JSON stamps host idle% (from /proc/stat, sampled before and
+  * the SUCCESSFUL reps (failed reps are excluded and counted, so a query
+  * that starts failing cannot hide behind a plausible-looking median); and
+  * the JSON stamps host idle% + steal% (from /proc/stat, sampled before and
   * after) plus the JVM max heap, so a degraded-host artifact is recognizable
-  * as such. All reps are also emitted under "runs" for inspection.
+  * as such.
+  *
+  * Output contract: stdout carries ONE compact JSON line (medians only,
+  * 3-decimal, no per-rep arrays) sized to survive the driver's 2000-char
+  * stdout tail window — rounds 1-4 shipped the per-rep arrays on the same
+  * line and the line start was truncated away, so the driver's parse failed
+  * every round. The full artifact (all reps, per-query error messages,
+  * loadavg) is written to SPARK_GRAFT_BENCH_OUT (default
+  * BENCH/bench_detail.json) for committing.
   */
 object Bench {
 
@@ -29,13 +39,16 @@ object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
-    if (n == 0) 0.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    if (n == 0) -1.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
+
+  private def f3(d: Double): String = f"$d%.3f"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val detailOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/bench_detail.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,6 +66,8 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val runs = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    val errs = scala.collection.mutable.Map.empty[String, Vector[String]]
+      .withDefaultValue(Vector.empty)
     for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
       // consume EVERY output column, not just row count: under a bare
@@ -61,20 +76,26 @@ object Bench {
       // were partially timing row counting instead of the operator. The
       // xxhash64-over-struct aggregate forces each column to materialize
       // while keeping the action a cheap single-row collect.
-      try {
-        val df = fn(spark, sfDir)
-        import org.apache.spark.sql.functions.{col, count, struct, xxhash64}
-        df.agg(count(xxhash64(struct(df.columns.map(col): _*)))).collect()
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
+      val failure: Option[String] =
+        try {
+          val df = fn(spark, sfDir)
+          import org.apache.spark.sql.functions.{col, count, struct, xxhash64}
+          df.agg(count(xxhash64(struct(df.columns.map(col): _*)))).collect()
+          None
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop leftover cache/localCheckpoint blocks so queries don't
       // interfere (ContextCleaner reclaims on GC)
       spark.sharedState.cacheManager.clearCache()
       System.gc()
-      runs(name) = runs(name) :+ dt
+      failure match {
+        case None      => runs(name) = runs(name) :+ dt
+        case Some(msg) => errs(name) = errs(name) :+ msg
+      }
     }
     val (idlePct, stealPct) = (t0Ticks, cpuTicks()) match {
       case (Some((i0, s0, t0t)), Some((i1, s1, t1t))) if t1t > t0t =>
@@ -84,12 +105,43 @@ object Bench {
     }
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
 
+    // medians over SUCCESSFUL reps only; a query with zero successes
+    // reports -1 and shows up in failed_queries — the artifact proves its
+    // own completeness instead of folding time-to-failure into the median.
     val medians = names.map { case (k, _) => k -> median(runs(k)) }
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val nFailedReps = errs.valuesIterator.map(_.size).sum
+    val failedQueries = names.collect { case (k, _) if runs(k).isEmpty => k }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val sfLabel = sfDir.split('/').last
+    val stamps = s""""sf":"$sfLabel","reps":$reps,"failed_reps":$nFailedReps,""" +
+      s""""idle_pct":${f"$idlePct%.1f"},"steal_pct":${f"$stealPct%.2f"},""" +
+      s""""heap_gb":${f"$heapGb%.1f"},"cpus":$cpus"""
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$stamps}"""
+    // full artifact (per-rep arrays + error strings) goes to a file, NOT
+    // stdout: the driver parses the stdout tail and a >2000-char line gets
+    // truncated past recognition.
     val allRuns = names.map { case (k, _) =>
-      s"\"" + k + "\":" + runs(k).mkString("[", ",", "]") }.mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"aggregation":"median","idle_pct":${f"$idlePct%.1f"},"steal_pct":${f"$stealPct%.2f"},"loadavg_before":${f"$loadBefore%.2f"},"heap_gb":${f"$heapGb%.1f"},"cpus":$cpus,"runs":$allRuns}""")
+      "\"" + k + "\":" + runs(k).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val allErrs = errs.toSeq.sortBy(_._1).map { case (k, es) =>
+      "\"" + k + "\":" + es.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stamps,""" +
+      s""""sf_dir":"$sfDir","loadavg_before":${f"$loadBefore%.2f"},""" +
+      s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""errors":$allErrs,"runs":$allRuns}"""
+    try {
+      val p = java.nio.file.Paths.get(detailOut)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+      System.err.println(s"[bench] detail artifact -> $detailOut (${detail.length} bytes)")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $detailOut: ${e.getMessage}")
+    }
+    System.err.println(s"[bench] stdout line length = ${line.length} chars (driver tail window 2000)")
+    println(line)
     spark.stop()
   }
 }
