@@ -528,8 +528,10 @@ object SparkEntry {
       val sigs = Docs.minHashSignature(docs).localCheckpoint()
       val cand = Docs.minHashCandidates(sigs)
       val sh = docs.select(col("doc_id"), Docs.shingles(col("text"), 3).as("sh")).localCheckpoint()
+      // jaccard stays a RAW double (exact int counts, one IEEE division —
+      // bit-identical cross-engine; a bround could land on a rounding tie)
       Docs.jaccardFromShingles(sh, cand)
-        .select(col("doc_a"), col("doc_b"), bround(col("jaccard"), 4).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }),
 
     "doc_jaccard_exact" -> ((s, d) => {
@@ -1296,6 +1298,13 @@ object SparkEntry {
         s"""WITH ${OracleSql.minHashMd5Ctes}
            |${OracleSql.minHashMd5PairsSelect}""".stripMargin,
       "doc_dedup_minhash" -> OracleSql.minHashDedupSql,
+      // PRODUCTION xxhash64 paths under the exact gate: DuckDB recomputes
+      // Spark's XXH64 (seed 42) via the HUGEINT mod-2^64 CTE chains in
+      // OracleXxh — the last hash-production queries formerly rows-only.
+      "doc_minhash" -> OracleXxh.docMinhashSql,
+      "doc_simhash" -> OracleXxh.simHashXxSql,
+      "doc_jaccard" -> OracleXxh.docJaccardSql,
+      "emb_lsh" -> OracleXxh.embLshSql(dim = 64, bits = 4, tables = 8, k = 5, queryMod = 100),
 
       "emb_norms" ->
         """SELECT vec_id, label,

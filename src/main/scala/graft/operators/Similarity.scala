@@ -53,9 +53,16 @@ object Similarity {
     * table seed) via a fixed LCG — no wall-clock, no Math.random
     * (resume-safe).
     */
-  def hyperplaneSignature(emb: Column, dim: Int, bits: Int, tableSeed: Long = 0L): Column = {
+  def hyperplaneSignature(emb: Column, dim: Int, bits: Int, tableSeed: Long = 0L): Column =
+    planeSignature(emb, lcgPlanes(dim, bits, tableSeed))
+
+  /** The LCG plane values behind [[hyperplaneSignature]] — exposed so the
+    * DuckDB twin (OracleXxh.embLshSql) embeds the IDENTICAL literals the
+    * Spark plan carries (single source of truth; no RNG on either side).
+    */
+  def lcgPlanes(dim: Int, bits: Int, tableSeed: Long): Seq[Seq[Double]] = {
     def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
-    val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
+    (0 until bits).map { b =>
       var s = lcg(b.toLong + 12345L + tableSeed * 7919L)
       (0 until dim).map { _ =>
         s = lcg(s)
@@ -63,7 +70,6 @@ object Similarity {
         (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
       }
     }
-    planeSignature(emb, planes)
   }
 
   /** Signature from EXPLICIT hyperplanes: bit b set iff dot(v, planes(b)) > 0.
