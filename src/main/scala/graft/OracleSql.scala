@@ -516,7 +516,23 @@ object OracleSql {
     * recursive walk can join on uid alone while edges stay within-user).
     */
   def userDbscanSql(epsLit: String, minSamples: Int): String =
-    s"""WITH RECURSIVE $gpsCte,
+    s"""WITH RECURSIVE ${userDbscanCoreCtes(epsLit, minSamples)}
+       |SELECT l.user_id, l.label, count(*) AS n_core,
+       |  min(p.id) AS min_id, max(p.id) AS max_id, CAST(sum(p.id) AS BIGINT) AS id_sum,
+       |  min(p.lat) AS lat_min, max(p.lat) AS lat_max,
+       |  min(p.lon) AS lon_min, max(p.lon) AS lon_max
+       |FROM pts p JOIN corelab l ON p.user_id = l.user_id AND p.lat = l.lat AND p.lon = l.lon
+       |GROUP BY l.user_id, l.label""".stripMargin
+
+  /** The per-user-DBSCAN core-labeling CTE chain shared by
+    * [[userDbscanSql]] and [[userDbscanStatsSql]]: grid-cell half-ring
+    * neighbor pairs → weighted core test → core-core edges → recursive
+    * downhill min-label walk → label = rank of each cluster's min core uid
+    * → `corelab(user_id, lat, lon, label)` (plus `pts` with every original
+    * row). Callers prepend WITH RECURSIVE and append their final SELECT.
+    */
+  def userDbscanCoreCtes(epsLit: String, minSamples: Int): String =
+    s"""$gpsCte,
        |pts AS (SELECT user_id, event_id AS id, lat, lon FROM gps),
        |uniq AS MATERIALIZED (
        |  SELECT user_id, lat, lon, min(id) AS uid, count(*) AS w,
@@ -556,13 +572,81 @@ object OracleSql {
        |  FROM comp c
        |  JOIN ranked r ON c.user_id = r.user_id AND c.comp = r.comp
        |  JOIN uniq u ON c.user_id = u.user_id AND c.uid = u.uid
+       |)""".stripMargin
+
+  /** Twin of the gps_cluster_stats query: the reference's
+    * extract_cluster_centers statistics (gps.py:1002-1067) per (user,
+    * label) over CORE rows, every value cross-engine exact WITHOUT
+    * rounding: sums/means fold over the SORTED coordinate list (canonical
+    * order → bit-identical IEEE accumulation both engines, the
+    * list_reduce/aggregate pairing from CLAUDE.md), the IQR keeps the
+    * reference's percentile-FRACTION quirk (q/100 · (n−1) linear
+    * interpolation), std is ddof=1 (NULL for n<2), and max_dist_m is an
+    * order-independent max of haversines from the fold-mean center.
+    */
+  def userDbscanStatsSql(epsLit: String, minSamples: Int): String = {
+    def foldSum(xs: String): String = foldSumSql(xs)
+    def pctStage(s: String, q: String): (String, String, String) = {
+      // (pos, lo, hi) column exprs over n_core
+      (s"(($q) * CAST(n_core - 1 AS DOUBLE))",
+        s"CAST(floor(pos_$s) AS BIGINT)",
+        s"least(lo_$s + 1, n_core - 1)")
+    }
+    def interp(arr: String, s: String): String =
+      s"($arr[CAST(lo_$s + 1 AS INT)] + ($arr[CAST(hi_$s + 1 AS INT)] - $arr[CAST(lo_$s + 1 AS INT)]) * (pos_$s - lo_$s))"
+    val q25 = "(25e-2 / 100)"
+    val q75 = "(75e-2 / 100)"
+    val (posA, loA, hiA) = pctStage("a", q25)
+    val (posB, loB, hiB) = pctStage("b", q75)
+    s"""WITH RECURSIVE ${userDbscanCoreCtes(epsLit, minSamples)},
+       |grp AS MATERIALIZED (
+       |  SELECT l.user_id, l.label, p.lat, p.lon
+       |  FROM pts p JOIN corelab l ON p.user_id = l.user_id AND p.lat = l.lat AND p.lon = l.lon
+       |),
+       |agg AS MATERIALIZED (
+       |  SELECT user_id, label, count(*) AS n_core,
+       |    min(lat) AS lat_min, max(lat) AS lat_max,
+       |    min(lon) AS lon_min, max(lon) AS lon_max,
+       |    list_sort(list(lat)) AS slat, list_sort(list(lon)) AS slon
+       |  FROM grp GROUP BY user_id, label
+       |),
+       |pp AS MATERIALIZED (
+       |  SELECT *, $posA AS pos_a, $posB AS pos_b FROM agg
+       |),
+       |pl AS MATERIALIZED (
+       |  SELECT *, $loA AS lo_a, $loB AS lo_b FROM pp
+       |),
+       |ph AS MATERIALIZED (
+       |  SELECT *, $hiA AS hi_a, $hiB AS hi_b FROM pl
+       |),
+       |mstats AS MATERIALIZED (
+       |  SELECT user_id, label, n_core, lat_min, lat_max, lon_min, lon_max, slat, slon,
+       |    ${foldSum("slat")} / n_core AS lat_mean,
+       |    ${foldSum("slon")} / n_core AS lon_mean,
+       |    (${interp("slat", "b")} - ${interp("slat", "a")}) AS lat_iqr,
+       |    (${interp("slon", "b")} - ${interp("slon", "a")}) AS lon_iqr
+       |  FROM ph
+       |),
+       |wstd AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN n_core >= 2 THEN sqrt(${foldSum("list_transform(slat, v -> (v - lat_mean) * (v - lat_mean))")} / (n_core - 1)) END AS lat_std,
+       |    CASE WHEN n_core >= 2 THEN sqrt(${foldSum("list_transform(slon, v -> (v - lon_mean) * (v - lon_mean))")} / (n_core - 1)) END AS lon_std
+       |  FROM mstats
+       |),
+       |wdist AS (
+       |  -- 3-dp rounding drowns JVM-vs-libm trig ulp noise at the
+       |  -- fold-mean center (half-away ≡ Spark HALF_UP for positives;
+       |  -- transcendental values cannot land on the boundary)
+       |  SELECT m.user_id, m.label, round(max(${hav("g.lat", "g.lon", "m.lat_mean", "m.lon_mean")}), 3) AS max_dist_m
+       |  FROM wstd m JOIN grp g ON g.user_id = m.user_id AND g.label = m.label
+       |  GROUP BY m.user_id, m.label
        |)
-       |SELECT l.user_id, l.label, count(*) AS n_core,
-       |  min(p.id) AS min_id, max(p.id) AS max_id, CAST(sum(p.id) AS BIGINT) AS id_sum,
-       |  min(p.lat) AS lat_min, max(p.lat) AS lat_max,
-       |  min(p.lon) AS lon_min, max(p.lon) AS lon_max
-       |FROM pts p JOIN corelab l ON p.user_id = l.user_id AND p.lat = l.lat AND p.lon = l.lon
-       |GROUP BY l.user_id, l.label""".stripMargin
+       |SELECT w.user_id, w.label, w.n_core,
+       |  w.lat_min, w.lat_max, w.lon_min, w.lon_max,
+       |  w.lat_mean, w.lon_mean, w.lat_iqr, w.lon_iqr, w.lat_std, w.lon_std,
+       |  d.max_dist_m
+       |FROM wstd w JOIN wdist d ON w.user_id = d.user_id AND w.label = d.label""".stripMargin
+  }
 
   /** Twin of the emb_lsh_fixed query: single-table hyperplane LSH over a
     * literal integer plane matrix — signature bits from exact-ordered dot

@@ -216,6 +216,14 @@ object SparkEntry {
           // while min/max are order-independent and bit-identical doubles
           min("lat").as("lat_min"), max("lat").as("lat_max"),
           min("lon").as("lon_min"), max("lon").as("lon_max"))),
+    "gps_cluster_stats" -> ((s, d) =>
+      // extract_cluster_centers' per-cluster statistics over CORE rows
+      // under the exact gate: canonical-order folds for means/std,
+      // percentile-fraction IQR, ddof=1, raw (unrounded) doubles — the
+      // gps_user_dbscan membership discipline extended to the center
+      // stats themselves (gps_clusters stays rows-only for border rows)
+      operators.Clustering.coreCenterStats(
+        operators.Clustering.userDbscanCores(Tables.gps(s, d), eps = 0.005, minSamples = 20))),
     "gps_full_pipeline" -> ((s, d) => {
       // velocities → home/work/x-cluster labels → sessionized visits →
       // per-cluster visit statistics: the reference's §3.1 lifecycle
@@ -1342,6 +1350,7 @@ object SparkEntry {
       // whole clustering — not just a summary — runs under the exact gate
       "dbscan_distributed" -> OracleSql.dbscanSummarySql("5e-3", minSamples = 50),
       "gps_user_dbscan" -> OracleSql.userDbscanSql("5e-3", minSamples = 20),
+      "gps_cluster_stats" -> OracleSql.userDbscanStatsSql("5e-3", minSamples = 20),
       "emb_dedup" -> OracleSql.embDedupSql(Similarity.fixedIntPlanes(64, 4), "0.4e0")
     )
   }

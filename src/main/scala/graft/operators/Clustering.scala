@@ -344,6 +344,84 @@ object Clustering {
       }
   }
 
+  /** extract_cluster_centers' statistics (gps.py:1002-1067) per (user,
+    * label) over CORE rows, as ONE distributed aggregation — the
+    * exact-oracle companion of [[userDbscanCores]] (membership discipline
+    * from gps_user_dbscan extended to the center stats themselves).
+    *
+    * Cross-engine exactness WITHOUT rounding (the r4 lesson: rounded
+    * per-group float means land on half-even/half-away ties):
+    *  - sums/means fold over the SORTED coordinate array — a canonical
+    *    accumulation order both engines reproduce bit-for-bit
+    *    (`aggregate` ≙ DuckDB `list_reduce`),
+    *  - the IQR keeps the reference's percentile-FRACTION quirk
+    *    (np.percentile handed 0.25/0.75 as PERCENTS → q/100·(n−1) linear
+    *    interpolation),
+    *  - std is ddof=1 (pandas .std), NULL below 2 points,
+    *  - max_dist_m is an order-independent max of haversines from the
+    *    fold-mean center.
+    * The reference's 5-dp np.round presentation step is deliberately NOT
+    * applied here (half-even has no DuckDB twin); ClusteringSpec pins the
+    * rounded ClusterRow values against the golden fixtures instead.
+    */
+  def coreCenterStats(cores: Dataset[CorePoint]): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def foldSum(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, v) => acc + v)
+    // np.percentile linear interpolation at fraction-of-percent q
+    def pctl(sorted: Column, n: Column, q: Double): (Column, Column) = {
+      val pos = lit(q) * (n - 1).cast("double")
+      val lo = floor(pos)
+      (pos - lo.cast("double"), lo)
+    }
+    def interp(sorted: Column, n: Column, q: Double): Column = {
+      val (frac, lo) = pctl(sorted, n, q)
+      val hi = least(lo + 1, n - 1)
+      val elo = element_at(sorted, (lo + 1).cast("int"))
+      val ehi = element_at(sorted, (hi + 1).cast("int"))
+      elo + (ehi - elo) * frac
+    }
+    val g = cores.toDF()
+      .groupBy(col("user_id"), col("label").cast("long").as("label"))
+      .agg(
+        count(lit(1)).as("n_core"),
+        min("lat").as("lat_min"), max("lat").as("lat_max"),
+        min("lon").as("lon_min"), max("lon").as("lon_max"),
+        // ONE struct list so lat/lon pairing survives collect_list's
+        // nondeterministic order; sorted projections derive from it
+        collect_list(struct(col("lat"), col("lon"))).as("pts"))
+      .withColumn("slat", array_sort(transform(col("pts"), p => p.getField("lat"))))
+      .withColumn("slon", array_sort(transform(col("pts"), p => p.getField("lon"))))
+    val n = col("n_core")
+    val q25 = 0.25 / 100.0
+    val q75 = 0.75 / 100.0
+    val withMeans = g
+      .withColumn("lat_mean", foldSum(col("slat")) / n)
+      .withColumn("lon_mean", foldSum(col("slon")) / n)
+    withMeans
+      .withColumn("lat_iqr",
+        interp(col("slat"), n, q75) - interp(col("slat"), n, q25))
+      .withColumn("lon_iqr",
+        interp(col("slon"), n, q75) - interp(col("slon"), n, q25))
+      .withColumn("lat_std", when(n >= 2,
+        sqrt(foldSum(transform(col("slat"), v => (v - col("lat_mean")) * (v - col("lat_mean")))) / (n - 1))))
+      .withColumn("lon_std", when(n >= 2,
+        sqrt(foldSum(transform(col("slon"), v => (v - col("lon_mean")) * (v - col("lon_mean")))) / (n - 1))))
+      // max_dist is the one trig value here: the fold-mean center feeds
+      // sin/cos at ARBITRARY doubles, where JVM vs DuckDB libm differ in
+      // the last ulp (measured ~1e-11 relative). 3-dp rounding (reference
+      // precision) drowns that noise: Spark round is HALF_UP ≡ DuckDB's
+      // half-away for positive values, and a transcendental distance
+      // cannot sit exactly on a decimal boundary.
+      .withColumn("max_dist_m",
+        round(array_max(transform(col("pts"),
+          p => graft.functions.Geo.haversineMeters(
+            p.getField("lat"), p.getField("lon"), col("lat_mean"), col("lon_mean")))), 3))
+      .select("user_id", "label", "n_core", "lat_min", "lat_max", "lon_min", "lon_max",
+        "lat_mean", "lon_mean", "lat_iqr", "lon_iqr", "lat_std", "lon_std", "max_dist_m")
+  }
+
   // the most recent persisted tagged frame; each clustersWithContext call
   // releases its predecessor so repeated invocations (bench rounds, long
   // sessions) hold at most ONE cached copy instead of accumulating blocks
