@@ -45,7 +45,12 @@ object Dbscan {
                   minSamples: Int = 100): (Array[Int], Array[Boolean]) = {
     val n = pts.length
     val labels = Array.fill(n)(-1)
-    if (n < 2) return (labels, Array.fill(n)(false))
+    if (n == 0) return (labels, Array.empty)
+    // n == 1 only shortcuts when the lone point cannot be core: sklearn
+    // (and the userDbscanSql twin, whose self-pair carries w ≥ minSamples)
+    // makes a single point core under minSamples ≤ 1 — the general path
+    // below reproduces that; an unconditional early return here diverged.
+    if (n < 2 && minSamples > 1) return (labels, Array.fill(n)(false))
 
     val eps2 = eps * eps
     // collapse exact duplicates; uid order = first-occurrence (= min input

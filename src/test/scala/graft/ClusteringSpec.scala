@@ -195,6 +195,20 @@ class ClusteringSpec extends SparkSpec {
     assert(minCoreByLabel.toSeq.sortBy(_._2).map(_._1) === Seq(0, 1))
   }
 
+  test("runWithCore: lone point is core under minSamples <= 1 (sklearn parity)") {
+    // sklearn: a single sample with min_samples=1 has weighted degree 1 ≥ 1
+    // → core, cluster 0; the SQL twin's self-pair agrees. minSamples=2 →
+    // non-core noise. An unconditional n<2 early return diverged here.
+    val lone = Array((40.0, -75.0))
+    val (l1, c1) = Dbscan.runWithCore(lone, eps = 0.005, minSamples = 1)
+    assert(l1.toSeq === Seq(0) && c1.toSeq === Seq(true))
+    val (l2, c2) = Dbscan.runWithCore(lone, eps = 0.005, minSamples = 2)
+    assert(l2.toSeq === Seq(-1) && c2.toSeq === Seq(false))
+    // empty input stays well-formed
+    val (l0, c0) = Dbscan.runWithCore(Array.empty[(Double, Double)], 0.005, 1)
+    assert(l0.isEmpty && c0.isEmpty)
+  }
+
   test("userDbscanCores: per-user core membership matches the local kernel") {
     val rows = (0 until 40).map { i =>
       (1L, i.toLong, 40.0 + (i % 4) * 1e-3, -75.0)
