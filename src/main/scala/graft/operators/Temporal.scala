@@ -58,17 +58,32 @@ object Temporal {
     * unique). Pick `chunkSeconds` near the typical interval span: cost per
     * interval is ceil(span/chunk)+1 exploded rows. Intervals must satisfy
     * start ≤ end (a descending `sequence` would fabricate chunks).
+    *
+    * Pathological spans are BOUNDED, not silently exploded: an interval
+    * spanning more than `maxChunksPerInterval` chunks (a years-long
+    * [start, end] under an hour chunk would fabricate ~10⁴ rows) is routed
+    * to a keys-only equi join + exact refine instead. Same results, and the
+    * explode stays ≤ maxChunksPerInterval rows per interval; the fallback
+    * join is proportional to the (assumed rare) oversized intervals — if
+    * MOST intervals are oversized, `chunkSeconds` is mis-sized and the
+    * fallback's per-key fan-out is the honest cost of that.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, startCol: String, endCol: String,
-                   chunkSeconds: Long = 3600L): DataFrame = {
+                   chunkSeconds: Long = 3600L,
+                   maxChunksPerInterval: Long = 10000L): DataFrame = {
     def chunkOf(c: org.apache.spark.sql.Column) =
       floor(c.cast("long") / chunkSeconds).cast("long")
+    val nChunks = chunkOf(col(endCol)) - chunkOf(col(startCol)) + 1
+    val refine = col(leftTs) >= col(startCol) && col(leftTs) <= col(endCol)
     val l = left.withColumn("__chunk", chunkOf(col(leftTs)))
-    val r = right.withColumn("__chunk",
-      explode(sequence(chunkOf(col(startCol)), chunkOf(col(endCol)))))
-    l.join(r, keys :+ "__chunk")
-      .where(col(leftTs) >= col(startCol) && col(leftTs) <= col(endCol))
-      .drop("__chunk")
+    val r = right.where(nChunks <= lit(maxChunksPerInterval))
+      .withColumn("__chunk",
+        explode(sequence(chunkOf(col(startCol)), chunkOf(col(endCol)))))
+    val chunked = l.join(r, keys :+ "__chunk").where(refine).drop("__chunk")
+    val oversized = left
+      .join(right.where(nChunks > lit(maxChunksPerInterval)), keys)
+      .where(refine)
+    chunked.unionByName(oversized.select(chunked.columns.map(col): _*))
   }
 }

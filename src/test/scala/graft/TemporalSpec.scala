@@ -65,6 +65,39 @@ class TemporalSpec extends SparkSpec {
     assert(out.length === 2) // exactly once each despite the 3-chunk explode
   }
 
+  test("intervalJoin: oversized intervals route to the bounded fallback, same results") {
+    // one normal interval + one pathological 10-year span; with hour chunks
+    // and maxChunksPerInterval=100 the big one would fabricate ~87k rows if
+    // exploded — the guard routes it to the keys-only fallback instead.
+    val tenYears = 10L * 365 * 86400
+    val pts = Seq(
+      (1L, ts(100), 1L), (1L, ts(7200), 2L), (1L, ts(tenYears / 2), 3L),
+      (2L, ts(100), 4L), (2L, ts(tenYears + 1), 5L)
+    ).toDF("k", "t", "id")
+    val iv = Seq(
+      (1L, ts(100), ts(7200), "small"),
+      (1L, ts(0), ts(tenYears), "huge"),
+      (2L, ts(0), ts(tenYears), "huge2")
+    ).toDF("k", "s", "e", "tag")
+    val guarded = Temporal.intervalJoin(pts, iv, Seq("k"), "t", "s", "e",
+      chunkSeconds = 3600L, maxChunksPerInterval = 100L)
+      .select("id", "tag").as[(Long, String)].collect().toSet
+    // brute force on the same rows
+    val brute = pts.join(iv, Seq("k")).where(col("t") >= col("s") && col("t") <= col("e"))
+      .select("id", "tag").as[(Long, String)].collect().toSet
+    assert(guarded === brute)
+    // id 5 sits 1 s past huge2's end — excluded by the inclusive refine
+    assert(guarded === Set((1L, "small"), (2L, "small"), (1L, "huge"),
+      (2L, "huge"), (3L, "huge"), (4L, "huge2")))
+    // the explode side never carries the oversized interval: its Generate
+    // input is filtered to nChunks <= max
+    val plan = Temporal.intervalJoin(pts, iv, Seq("k"), "t", "s", "e",
+      chunkSeconds = 3600L, maxChunksPerInterval = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("intervalJoin plans as an equi join, never inequality-only/nested-loop") {
     val pts = Seq((1L, ts(100), 1L)).toDF("k", "t", "id")
     val iv = Seq((1L, ts(50), ts(150), "v")).toDF("k", "s", "e", "tag")
