@@ -181,7 +181,9 @@ object MediaImpl {
       val len = ((png(off) & 0xff) << 24) | ((png(off + 1) & 0xff) << 16) |
         ((png(off + 2) & 0xff) << 8) | (png(off + 3) & 0xff)
       val typ = new String(png, off + 4, 4, StandardCharsets.US_ASCII)
-      if (len < 0 || off + 8 + len + 4 > png.length) return null
+      // bounds math in Long: a corrupted len near 2^31 overflows the Int
+      // sum to negative, defeating the check and reading out of bounds
+      if (len < 0 || off.toLong + 8L + len + 4L > png.length) return null
       typ match {
         case "IHDR" =>
           // declared length must cover the 13 IHDR fields — a truncated
@@ -200,6 +202,15 @@ object MediaImpl {
       off += 8 + len + 4
     }
     if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 6 || idat.size() == 0) return null
+    // corrupted IHDR dims: h*(1+4w) in Int can overflow to a negative
+    // allocation size (throw) or demand gigabytes for a kilobyte payload.
+    // Per-axis cap FIRST (2^24 each keeps the product Long-safe — w=h≈2^31
+    // would overflow even the Long product below), then reject anything
+    // whose decoded form couldn't fit the compressed data by more than the
+    // zlib max ratio (~1032:1) plus slack
+    if (w > (1 << 24) || h > (1 << 24)) return null
+    if (h.toLong * (1L + w.toLong * 4L) > math.max(1L << 20, idat.size().toLong * 2048L))
+      return null
     val stride = w * 4
     val filtered = new Array[Byte](h * (1 + stride))
     val inflater = new Inflater()
@@ -364,7 +375,13 @@ object MediaImpl {
       // malformed container — treat as malformed, mirroring pngDecode
       if (len < 0) return InternalRow(false, 0L, 0L, 0, Array.emptyByteArray)
       if (id == "data") { dataOff = off + 8; dataLen = math.min(len, wav.length - dataOff) }
-      else off += 8 + len + (len & 1)
+      else {
+        // advance in Long: a garbage len near 2^31 overflows the Int sum to
+        // a negative offset, turning the walk into an OOB read
+        val next = off.toLong + 8L + len + (len & 1)
+        if (next > wav.length) return InternalRow(false, 0L, 0L, 0, Array.emptyByteArray)
+        off = next.toInt
+      }
     }
     if (dataOff < 0 || dataLen < 2) return InternalRow(false, 0L, 0L, 0, Array.emptyByteArray)
     val n = dataLen / 2
