@@ -61,20 +61,34 @@ object Streams {
     *
     * Input: streaming DataFrame with (doc_id, ts, text). Output: kept docs
     * as (doc_id, ts = window start, text), emitted on window close.
+    *
+    * Survivor selection differs from batch BY DESIGN: the stream keeps each
+    * bucket's ARRIVAL-first doc, while the batch pipeline
+    * (Docs + Components) keeps each connected component's min-doc_id
+    * representative. When arrival order follows doc_id and every cluster
+    * member collides directly with its cluster's min doc (true duplicates
+    * share all bands), the kept sets coincide (pinned in StreamsSpec);
+    * out-of-order arrival, or clusters connected only through a transitive
+    * path via a LATER doc, select different survivors. Downstream
+    * reconciliation against a batch re-run must therefore key on cluster
+    * membership, not on which doc_id survived.
     */
   def nearDedupDocs(stream: DataFrame, bands: Int = 4,
                     watermark: String = "10 minutes",
                     window_ : String = "1 minute"): DataFrame = {
     require(graft.functions.MinHashImpl.NumHashes % bands == 0, "bands must divide NumHashes")
     val bandSize = graft.functions.MinHashImpl.NumHashes / bands
-    // signature staged as its own projection (not inlined into the HOF —
-    // expressions referenced inside HOF lambdas re-evaluate per element)
+    // band hashes as `bands` EXPLICIT columns, not a HOF over a staged
+    // signature: an alias referenced once inside a lambda can be inlined by
+    // CollapseProject (re-running MinHashSigExpr per band element), whereas
+    // `bands` explicit references of the expensive alias are never inlined —
+    // the signature is computed exactly once per row
     val banded = stream
       .select(col("doc_id"), col("ts"), col("text"),
         graft.functions.MinHashSigExpr(col("text")).as("signature"))
       .select(col("doc_id"), col("ts"), col("text"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("signature"), b * bandSize + 1, lit(bandSize)))))
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("signature"), b * bandSize + 1, bandSize))): _*))
           .as(Seq("band_idx", "band_hash")))
       // the text payload rides ONLY the band-0 row (not ×bands through the
       // shuffle): a kept doc by definition kept ALL its band rows, so its

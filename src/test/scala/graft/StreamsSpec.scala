@@ -122,6 +122,50 @@ class StreamsSpec extends SparkSpec {
     assert(keptRows.find(_.getLong(0) == 4L).get.getString(1) === near)
   }
 
+  test("streaming and batch near-dup agree on in-horizon kept docs (doc_id arrival order)") {
+    implicit val sqlCtx = spark.sqlContext
+    // Two near-dup groups (members collide DIRECTLY with the group min —
+    // the regime where stream arrival-first == batch min-doc_id survivor
+    // selection, per the Scaladoc contract) plus two unique docs.
+    val g1 = "the quick brown fox jumps over the lazy dog while the rain falls on the plain in spain"
+    val g2 = "spark catalyst rewrites logical plans into physical operators with whole stage codegen enabled everywhere"
+    val corpus = Seq(
+      1L -> g1, 2L -> (g1 + " today"), 3L -> (g1 + " tonight"),
+      4L -> g2, 5L -> (g2 + " quickly"),
+      6L -> "totally unrelated text about weather stations and gps traces in the wild",
+      7L -> "another unique document mentioning neither foxes nor optimizers at all")
+    val docs = corpus.toDF("doc_id", "text")
+
+    // batch: xxhash64 signatures → band candidates → CC → min-doc_id reps
+    val cands = operators.Docs.minHashCandidates(operators.Docs.minHashSignature(docs))
+    // fixture sanity: every non-min member collides with an EARLIER doc —
+    // rules out the transitive-via-later-doc case where survivors differ
+    val pairs = cands.as[(Long, Long)].collect().toSet
+    assert(Seq(2L, 3L, 5L).forall(b => pairs.exists { case (a, bb) => bb == b && a < b }),
+      s"fixture must band-collide each member with an earlier doc; got $pairs")
+    val clusters = operators.Docs.nearDupClusters(cands)
+    val batchDropped = clusters.where($"doc_id" =!= $"rep")
+      .select("doc_id").as[Long].collect().toSet
+    val batchKept = corpus.map(_._1).toSet -- batchDropped
+
+    // stream: same corpus, arrival in doc_id order, all inside one horizon
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.nearDedupDocs(df)
+      .writeStream.format("memory").queryName("agree").outputMode("append").start()
+    corpus.zipWithIndex.foreach { case ((id, text), i) =>
+      input.addData((id, ts(s"2024-01-01 08:0$i:00"), text))
+      q.processAllAvailable()
+    }
+    input.addData((99L, ts("2024-01-01 11:00:00"),
+      "sentinel closing document far beyond the watermark horizon"))
+    q.processAllAvailable()
+    val streamKept = spark.sql("SELECT doc_id FROM agree").as[Long].collect().toSet - 99L
+    q.stop()
+    assert(streamKept === batchKept,
+      s"stream kept $streamKept, batch kept $batchKept")
+  }
+
   test("streaming sessionization closes visits on cid change") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.StreamPoint]
