@@ -1263,7 +1263,8 @@ object SparkEntry {
            |s AS (
            |  SELECT doc_id, n_tokens,
            |$scoreCols
-           |  FROM g WHERE n_tokens BETWEEN 20 AND 80 AND cpt < 5.5e0 AND dr > 0.5e0
+           |  FROM g WHERE n_tokens BETWEEN ${Docs.PipelineMinTokens} AND ${Docs.PipelineMaxTokens}
+           |    AND cpt < ${Docs.PipelineMaxCharsPerToken}e0 AND dr > ${Docs.PipelineMinDistinctRatio}e0
            |),
            |p AS (
            |  SELECT doc_id, n_tokens,

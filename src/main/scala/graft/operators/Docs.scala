@@ -51,7 +51,19 @@ object Docs {
     * shape: one uniform digest shuffle for dedup + one final tiny
     * aggregation; the gates and scores are pure projections.
     */
-  def filterPipeline(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 80): DataFrame = {
+  /** Gate constants for [[filterPipeline]] — the oracle SQL builder
+    * (SparkEntry.oracleSql "doc_filter_pipeline") interpolates THESE same
+    * values, so operator and twin cannot silently diverge (the ratio bounds
+    * are binary-exact doubles; cross-engine `<`/`>` against them is exact).
+    */
+  val PipelineMinTokens = 20
+  val PipelineMaxTokens = 80
+  val PipelineMaxCharsPerToken = 5.5
+  val PipelineMinDistinctRatio = 0.5
+
+  def filterPipeline(docs: DataFrame,
+                     minTokens: Int = PipelineMinTokens,
+                     maxTokens: Int = PipelineMaxTokens): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val gated = dedupExact(docs)
       .withColumn("n_tokens", size(toks).cast("long"))
@@ -60,7 +72,8 @@ object Docs {
       .withColumn("distinct_ratio",
         size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
       .where(col("n_tokens").between(minTokens, maxTokens) &&
-        col("chars_per_token") < lit(5.5) && col("distinct_ratio") > lit(0.5))
+        col("chars_per_token") < lit(PipelineMaxCharsPerToken) &&
+        col("distinct_ratio") > lit(PipelineMinDistinctRatio))
     val langs = LangMarkers.keys.toSeq.sorted
     val padded = concat(lit(" "), col("text"), lit(" "))
     val scored = langs.foldLeft(gated) { (df, l) =>
