@@ -490,6 +490,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
         .where(col("n_docs") > 1)),
     "doc_quality" -> ((s, d) => Docs.qualityFeatures(Tables.documents(s, d))),
+    "doc_repetition" -> ((s, d) =>
+      // Gopher repetition filters (top-2-gram / duplicate-5-gram): compiled
+      // per-row kernel, zero shuffles; exact-integer counts + one-division
+      // fractions under the DuckDB unnest→GROUP BY twin
+      Docs.repetitionScores(Tables.documents(s, d))),
     "doc_dedup_exact" -> ((s, d) =>
       Docs.dedupExact(Tables.documents(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
@@ -1225,6 +1230,34 @@ object SparkEntry {
           |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS DOUBLE)
           |    / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS the_ratio
           |FROM documents""".stripMargin,
+      "doc_repetition" ->
+        """WITH toks AS MATERIALIZED (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+          |),
+          |g2 AS (SELECT doc_id, CASE WHEN len(t) >= 2
+          |  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+          |  ELSE [] END AS gs FROM toks),
+          |c2 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(gs) AS g FROM g2)
+          |  GROUP BY doc_id, g),
+          |a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot2, CAST(max(c) AS BIGINT) AS top2,
+          |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup2
+          |  FROM c2 GROUP BY doc_id),
+          |g5 AS (SELECT doc_id, CASE WHEN len(t) >= 5
+          |  THEN list_transform(range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' '))
+          |  ELSE [] END AS gs FROM toks),
+          |c5 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(gs) AS g FROM g5)
+          |  GROUP BY doc_id, g),
+          |a5 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot5, CAST(max(c) AS BIGINT) AS top5,
+          |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup5
+          |  FROM c5 GROUP BY doc_id)
+          |SELECT k.doc_id,
+          |  coalesce(a2.tot2, 0) AS tot2, coalesce(a2.top2, 0) AS top2, coalesce(a2.dup2, 0) AS dup2,
+          |  coalesce(a5.tot5, 0) AS tot5, coalesce(a5.top5, 0) AS top5, coalesce(a5.dup5, 0) AS dup5,
+          |  CASE WHEN coalesce(a2.tot2, 0) > 0
+          |       THEN CAST(a2.top2 AS DOUBLE) / CAST(a2.tot2 AS DOUBLE) ELSE 0e0 END AS top2_frac,
+          |  CASE WHEN coalesce(a5.tot5, 0) > 0
+          |       THEN CAST(a5.dup5 AS DOUBLE) / CAST(a5.tot5 AS DOUBLE) ELSE 0e0 END AS dup5_frac
+          |FROM toks k LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)""".stripMargin,
       "doc_lang" -> {
         val scores = Docs.LangMarkers.toSeq.sortBy(_._1).map { case (lang, pats) =>
           val terms = pats.map(p =>

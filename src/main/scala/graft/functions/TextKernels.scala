@@ -281,6 +281,48 @@ object TextImpl {
     }
     InternalRow(seen.size.toLong, minFp, maxFp)
   }
+
+  /** Gopher-style within-document repetition statistics over token n-grams
+    * (Rae et al. 2021 §A1.1, token-count variant of the character-fraction
+    * filters): for n ∈ {2, 5}, the total n-gram count, the count of the
+    * most frequent n-gram, and the total count of n-grams that occur more
+    * than once. All exact integers — the fraction filters downstream are
+    * single int/int IEEE divisions, so the DuckDB twin (unnest → GROUP BY
+    * counts) reproduces them bit-identically. Zeros when the doc has fewer
+    * than n tokens.
+    */
+  def repStats(text: UTF8String): InternalRow = {
+    val toks = tokens(text)
+    val m = toks.length
+    def stats(n: Int): (Long, Long, Long) = {
+      if (m < n) return (0L, 0L, 0L)
+      val total = m - n + 1
+      val counts = new java.util.HashMap[String, Integer](math.max(16, total * 2))
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        val k = sb.toString
+        val prev = counts.get(k)
+        counts.put(k, if (prev == null) 1 else prev + 1)
+        i += 1
+      }
+      var top = 0L
+      var dup = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().longValue()
+        if (c > top) top = c
+        if (c > 1) dup += c
+      }
+      (total.toLong, top, dup)
+    }
+    val (t2, top2, d2) = stats(2)
+    val (t5, top5, d5) = stats(5)
+    InternalRow(t2, top2, d2, t5, top5, d5)
+  }
 }
 
 /** text → array<string> of distinct n-token shingles. */
@@ -421,6 +463,34 @@ object WinnowExpr {
 }
 
 /** Column-level entry points for the compiled text kernels. */
+/** text → (tot2, top2, dup2, tot5, top5, dup5) token n-gram repetition
+  * counts (Gopher quality filters).
+  */
+case class RepStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextImpl.repStats(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.repStats($c)")
+
+  protected override def withNewChildInternal(newChild: Expression): RepStatsExpr =
+    copy(child = newChild)
+}
+
+object RepStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("tot2", LongType, nullable = false),
+    StructField("top2", LongType, nullable = false),
+    StructField("dup2", LongType, nullable = false),
+    StructField("tot5", LongType, nullable = false),
+    StructField("top5", LongType, nullable = false),
+    StructField("dup5", LongType, nullable = false)))
+}
+
 object Text {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -447,4 +517,7 @@ object Text {
 
   def winnow(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
+
+  def repStats(text: Column): Column =
+    ColumnBridge.column(RepStatsExpr(ColumnBridge.expression(text)))
 }

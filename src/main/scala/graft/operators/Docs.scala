@@ -372,6 +372,29 @@ object Docs {
         / size(toks).cast("double")).as("the_ratio"))
   }
 
+  /** Gopher-style within-document repetition scores (Rae et al. 2021
+    * §A1.1, token-count variant of the character-fraction filters): per
+    * doc, the n-gram totals / most-frequent-n-gram count / duplicated-
+    * n-gram count for n ∈ {2, 5}, plus the two headline filter fractions
+    * (top-2-gram fraction, duplicate-5-gram fraction). A boilerplate or
+    * looping-generation document scores high and is gated out upstream of
+    * training. Pure per-row projection (compiled RepStatsExpr kernel —
+    * zero shuffles at any scale); counts are exact integers and each
+    * fraction is ONE int/int IEEE division, so the DuckDB unnest→GROUP BY
+    * twin is bit-identical.
+    */
+  def repetitionScores(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.Text.repStats(col("text")).as("__r"))
+      .select(col("doc_id"),
+        col("__r.tot2").as("tot2"), col("__r.top2").as("top2"), col("__r.dup2").as("dup2"),
+        col("__r.tot5").as("tot5"), col("__r.top5").as("top5"), col("__r.dup5").as("dup5"))
+      .withColumn("top2_frac",
+        when(col("tot2") > 0, col("top2").cast("double") / col("tot2").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup5_frac",
+        when(col("tot5") > 0, col("dup5").cast("double") / col("tot5").cast("double"))
+          .otherwise(lit(0.0)))
+
   /** Document fingerprint: 64-bit polynomial rolling hash of the whole text
     * (base 31, wrapping long arithmetic), as a cheap order-sensitive content
     * id; plus winnowing-style k-gram min-hash per fixed-length block.

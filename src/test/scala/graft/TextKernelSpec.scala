@@ -100,6 +100,39 @@ class TextKernelSpec extends SparkSpec {
     assertSame(Docs.winnowSummary(edge), Docs.winnowSummaryHof(edge), "winnow")
   }
 
+  test("repStats kernel == brute-force token n-gram counting on the edge corpus") {
+    // independent reference: tokenize with the same split(trim, \s+)
+    // semantics, count n-grams with a scala Map
+    def brute(text: String, n: Int): (Long, Long, Long) = {
+      val trimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = java.util.regex.Pattern.compile("\\s+").split(trimmed, -1)
+      if (toks.length < n) return (0L, 0L, 0L)
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      (grams.size.toLong, counts.values.max, counts.values.filter(_ > 1).sum)
+    }
+    val rows = graft.operators.Docs.repetitionScores(edge)
+      .orderBy("doc_id").collect()
+    val texts = edge.orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    rows.zip(texts).foreach { case (r, (id, text)) =>
+      val (t2, top2, d2) = brute(text, 2)
+      val (t5, top5, d5) = brute(text, 5)
+      assert((r.getAs[Long]("tot2"), r.getAs[Long]("top2"), r.getAs[Long]("dup2")) ===
+        ((t2, top2, d2)), s"doc $id 2-grams")
+      assert((r.getAs[Long]("tot5"), r.getAs[Long]("top5"), r.getAs[Long]("dup5")) ===
+        ((t5, top5, d5)), s"doc $id 5-grams")
+      val expTop2 = if (t2 > 0) top2.toDouble / t2.toDouble else 0.0
+      val expDup5 = if (t5 > 0) d5.toDouble / t5.toDouble else 0.0
+      assert(r.getAs[Double]("top2_frac") === expTop2, s"doc $id top2_frac")
+      assert(r.getAs[Double]("dup5_frac") === expDup5, s"doc $id dup5_frac")
+    }
+    // the degenerate all-repeats doc: 10×"a" → 9 bigrams all identical
+    val r9 = rows.find(_.getAs[Long]("doc_id") == 9L).get
+    assert(r9.getAs[Long]("top2") === 9L && r9.getAs[Double]("top2_frac") === 1.0)
+    assert(r9.getAs[Double]("dup5_frac") === 1.0)
+  }
+
   test("kernels agree with HOF twins on the sf0.001 documents corpus") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
