@@ -495,6 +495,10 @@ object SparkEntry {
       // per-row kernel, zero shuffles; exact-integer counts + one-division
       // fractions under the DuckDB unnest→GROUP BY twin
       Docs.repetitionScores(Tables.documents(s, d))),
+    "doc_split" -> ((s, d) =>
+      // deterministic xxhash64 train/val/test assignment — reproducible
+      // holdout membership as a pure projection; exact XXH64 twin
+      Docs.splitAssign(Tables.documents(s, d))),
     "doc_dedup_exact" -> ((s, d) =>
       Docs.dedupExact(Tables.documents(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
@@ -1230,6 +1234,18 @@ object SparkEntry {
           |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS DOUBLE)
           |    / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS the_ratio
           |FROM documents""".stripMargin,
+      "doc_split" -> {
+        val h = OracleXxh.hashLongCtes("xs", "xsrc", Seq("doc_id"),
+          OracleXxh.toUnsigned("doc_id"), "42")
+        s"""WITH xsrc AS (SELECT doc_id FROM documents),
+           |$h,
+           |b AS (SELECT doc_id,
+           |  (((${OracleXxh.toSigned("h")}) % 100) + 100) % 100 AS bucket FROM xs_out)
+           |SELECT doc_id, bucket,
+           |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM b""".stripMargin
+      },
       "doc_repetition" ->
         """WITH toks AS MATERIALIZED (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents

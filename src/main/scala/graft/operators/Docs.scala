@@ -372,6 +372,24 @@ object Docs {
         / size(toks).cast("double")).as("the_ratio"))
   }
 
+  /** Deterministic train/val/test split assignment: bucket =
+    * pmod(xxhash64(doc_id), 100), thresholds at trainPct / trainPct+valPct.
+    * The split is a pure function of the document id — reproducible across
+    * runs, machines, and engine versions (XXH64 is a fixed public
+    * algorithm), stable under repartitioning, and requires no sampling
+    * state or RNG seed plumbing: the property a training pipeline needs so
+    * a holdout document NEVER leaks into train when the corpus is re-read
+    * or extended. Pure per-row projection (zero shuffles); the DuckDB twin
+    * recomputes XXH64 exactly (OracleXxh.hashLongCtes).
+    */
+  def splitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(xxhash64(col("doc_id")), lit(100L))
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** Gopher-style within-document repetition scores (Rae et al. 2021
     * §A1.1, token-count variant of the character-fraction filters): per
     * doc, the n-gram totals / most-frequent-n-gram count / duplicated-

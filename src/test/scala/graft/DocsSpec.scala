@@ -194,4 +194,23 @@ class DocsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length <= 2,
       s"filterPipeline should shuffle exactly twice (dedup digest + summary):\n$plan")
   }
+
+  test("splitAssign: deterministic, in-range, threshold-consistent, shuffle-free") {
+    val docs = spark.range(1, 2001).toDF("doc_id")
+    val a = Docs.splitAssign(docs).orderBy("doc_id").collect()
+    val b = Docs.splitAssign(docs).orderBy("doc_id").collect()
+    assert(a === b, "same ids must land in the same split every run")
+    a.foreach { r =>
+      val bk = r.getAs[Long]("bucket")
+      assert(bk >= 0 && bk < 100)
+      val exp = if (bk < 80) "train" else if (bk < 90) "val" else "test"
+      assert(r.getAs[String]("split") === exp)
+    }
+    // distribution sanity: xxhash64 buckets ~uniform → train within 80±5%
+    val nTrain = a.count(_.getAs[String]("split") == "train")
+    assert(nTrain > 1500 && nTrain < 1700, s"train count $nTrain of 2000")
+    // pure projection: no Exchange in the plan
+    val plan = Docs.splitAssign(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
