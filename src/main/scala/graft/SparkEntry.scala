@@ -499,6 +499,14 @@ object SparkEntry {
       // deterministic xxhash64 train/val/test assignment — reproducible
       // holdout membership as a pure projection; exact XXH64 twin
       Docs.splitAssign(Tables.documents(s, d))),
+    "doc_sample" -> ((s, d) =>
+      // stratified language rebalancing: salt-decorrelated xxhash64 keep
+      // decision per doc — pure filter, zero shuffles; chained-XXH64 twin
+      Docs.sampleStratified(Tables.documents(s, d))),
+    "doc_mix" -> ((s, d) =>
+      // data-recipe epoch reweighting: per-source integer tier compare →
+      // broadcast join → map-side explode; exact all-integer twin
+      Docs.mixEpochs(Tables.documents(s, d))),
     "doc_dedup_exact" -> ((s, d) =>
       Docs.dedupExact(Tables.documents(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
@@ -1242,10 +1250,45 @@ object SparkEntry {
            |b AS (SELECT doc_id,
            |  (((${OracleXxh.toSigned("h")}) % 100) + 100) % 100 AS bucket FROM xs_out)
            |SELECT doc_id, bucket,
-           |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+           |  CASE WHEN bucket < ${Docs.DefaultTrainPct} THEN 'train'
+           |       WHEN bucket < ${Docs.DefaultTrainPct + Docs.DefaultValPct} THEN 'val'
            |       ELSE 'test' END AS split
            |FROM b""".stripMargin
       },
+      "doc_sample" -> {
+        // chained XXH64: hashLong(salt, hashLong(doc_id, 42)) — Spark's
+        // multi-arg xxhash64 folds left-to-right with the running hash as
+        // seed; rate thresholds interpolate Docs.DefaultSampleRates
+        val h1 = OracleXxh.hashLongCtes("sp1", "spsrc", Seq("doc_id", "lang"),
+          OracleXxh.toUnsigned("doc_id"), "42")
+        val h2 = OracleXxh.hashLongCtes("sp2", "sp1_out", Seq("doc_id", "lang"),
+          s"${Docs.DefaultSampleSalt}::HUGEINT", "h")
+        val rateCase = Docs.DefaultSampleRates.toSeq.sortBy(_._1)
+          .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        s"""WITH spsrc AS (SELECT doc_id, lang FROM documents),
+           |$h1,
+           |$h2,
+           |b AS (SELECT doc_id, lang,
+           |  (((${OracleXxh.toSigned("h")}) % 10000) + 10000) % 10000 AS bucket FROM sp2_out)
+           |SELECT doc_id, lang, bucket FROM b
+           |WHERE bucket < ($rateCase)""".stripMargin
+      },
+      "doc_mix" ->
+        s"""WITH perdoc AS MATERIALIZED (SELECT doc_id, source,
+           |  CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           |  CAST(length(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_distinct
+           |FROM documents),
+           |persrc AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+           |  CAST(sum(n_distinct) AS BIGINT) AS dis_sum FROM perdoc GROUP BY source),
+           |ep AS (SELECT source,
+           |  CASE WHEN ${Docs.MixHiNum} * dis_sum > ${Docs.MixHiDen} * tok_sum THEN 3
+           |       WHEN ${Docs.MixMidNum} * dis_sum > ${Docs.MixMidDen} * tok_sum THEN 2
+           |       ELSE 1 END AS epochs FROM persrc)
+           |SELECT d.doc_id, d.source, CAST(e.epochs AS BIGINT) AS epochs,
+           |  CAST(unnest(generate_series(1, e.epochs)) AS BIGINT) AS epoch
+           |FROM (SELECT doc_id, source FROM documents) d
+           |JOIN ep e USING (source)""".stripMargin,
       "doc_repetition" ->
         """WITH toks AS MATERIALIZED (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents

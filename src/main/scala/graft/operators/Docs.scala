@@ -382,12 +382,88 @@ object Docs {
     * or extended. Pure per-row projection (zero shuffles); the DuckDB twin
     * recomputes XXH64 exactly (OracleXxh.hashLongCtes).
     */
-  def splitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+  /** Split thresholds and sampling salt — interpolated into the SQL twins
+    * (change-both-sides convention: the oracle derives from THESE).
+    */
+  val DefaultTrainPct = 80
+  val DefaultValPct = 10
+  val DefaultSampleSalt = 7L
+
+  def splitAssign(docs: DataFrame, trainPct: Int = DefaultTrainPct,
+                  valPct: Int = DefaultValPct): DataFrame = {
     val bucket = pmod(xxhash64(col("doc_id")), lit(100L))
     docs.select(col("doc_id"), bucket.as("bucket"),
       when(bucket < trainPct, lit("train"))
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")).as("split"))
+  }
+
+  /** Default per-language keep rates (out of 10 000) for
+    * [[sampleStratified]] — the CCNet/C4-style language rebalancing step
+    * (downsample over-represented languages before training).
+    */
+  val DefaultSampleRates: Map[String, Int] =
+    Map("en" -> 10000, "de" -> 7500, "fr" -> 5000, "es" -> 2500, "zh" -> 1000)
+
+  /** Deterministic stratified hash sampling: keep a document iff
+    * pmod(xxhash64(doc_id, salt), 10000) < rate(lang). Like [[splitAssign]]
+    * the decision is a pure function of the id — reproducible and stable
+    * under repartitioning — but hashed under a distinct salt so the
+    * sampling coin is INDEPENDENT of the train/val/test coin (salting the
+    * id re-keys XXH64's avalanche; without it, every downsample would
+    * preferentially eat one end of the split buckets). Unknown languages
+    * get rate 0 (dropped — visible, not silent: the rate map is the
+    * explicit contract). Pure per-row filter, zero shuffles; the twin
+    * recomputes the chained XXH64 (hashLong(salt, hashLong(doc_id, 42)))
+    * via OracleXxh.
+    */
+  def sampleStratified(docs: DataFrame,
+                       ratesPer10k: Map[String, Int] = DefaultSampleRates,
+                       salt: Long = DefaultSampleSalt): DataFrame = {
+    val bucket = pmod(xxhash64(col("doc_id"), lit(salt)), lit(10000L))
+    val thresh = ratesPer10k.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r.toLong)).otherwise(acc)
+      }
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .where(col("bucket") < thresh)
+  }
+
+  /** Mix-tier thresholds for [[mixEpochs]]: a source earns `epochs`
+    * repetitions when num·Σdistinct > den·Σtokens (i.e. its corpus-level
+    * distinct-token mass fraction exceeds den/num — 9/20 = 0.45 for the
+    * 3-epoch tier, 2/5 = 0.40 for the 2-epoch tier). Integer cross-
+    * multiplication keeps the comparison exact in both engines (a float
+    * mean could land on a rounding tie); the SQL twin interpolates THESE
+    * constants (change-both-sides convention).
+    */
+  val MixHiNum = 20; val MixHiDen = 9   // > 0.45 → 3 epochs
+  val MixMidNum = 5; val MixMidDen = 2  // > 0.40 → 2 epochs
+
+  /** Corpus mixing with deterministic repetition (the data-recipe step: up-
+    * weight high-diversity sources by emitting each of their documents for
+    * multiple training epochs). Per-source token totals decide the tier;
+    * each doc is exploded into rows (doc_id, epoch=1..epochs). Scale shape:
+    * one partial-agg shuffle over ≤ |sources| keys for the stats, then a
+    * broadcast join (the per-source table is tiny by construction) and a
+    * map-side explode — no second shuffle, no skew surface (the explode
+    * multiplies rows at most ×3 and stays partition-local).
+    */
+  def mixEpochs(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val perSource = docs
+      .select(col("source"), size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("tok_sum"), sum("n_distinct").as("dis_sum"))
+    val epochs = perSource.select(col("source"),
+      when(col("dis_sum") * MixHiNum > col("tok_sum") * MixHiDen, lit(3L))
+        .when(col("dis_sum") * MixMidNum > col("tok_sum") * MixMidDen, lit(2L))
+        .otherwise(lit(1L)).as("epochs"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(epochs), Seq("source"))
+      .select(col("doc_id"), col("source"), col("epochs"),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch"))
   }
 
   /** Gopher-style within-document repetition scores (Rae et al. 2021

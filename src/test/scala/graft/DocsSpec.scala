@@ -195,6 +195,59 @@ class DocsSpec extends SparkSpec {
       s"filterPipeline should shuffle exactly twice (dedup digest + summary):\n$plan")
   }
 
+  test("sampleStratified: membership = bucket<rate(lang), salt-decorrelated, shuffle-free") {
+    import spark.implicits._
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val docs = spark.range(0, 5000)
+      .select(col("id").as("doc_id"),
+        element_at(typedLit(langs), (pmod(col("id"), lit(5)) + 1).cast("int")).as("lang"))
+    val kept = Docs.sampleStratified(docs).collect()
+    kept.foreach { r =>
+      val rate = Docs.DefaultSampleRates(r.getAs[String]("lang")).toLong
+      val bk = r.getAs[Long]("bucket")
+      assert(bk >= 0 && bk < 10000 && bk < rate)
+    }
+    // en keeps everything (rate 10000); zh keeps ~10%
+    val byLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(byLang("en") === 1000)
+    assert(byLang("zh") > 40 && byLang("zh") < 250, s"zh kept ${byLang("zh")} of 1000")
+    // decorrelation: the sampling coin must not be the split coin — among
+    // kept en docs (sampling keeps all), split proportions stay ~80/10/10
+    val keptIds = kept.filter(_.getAs[String]("lang") == "en").map(_.getAs[Long]("doc_id")).toSet
+    val splits = Docs.splitAssign(docs.where(col("doc_id").isin(keptIds.toSeq.map(Long.box): _*)))
+      .collect().groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(splits("train") > 700 && splits("train") < 900, splits.toString)
+    val plan = Docs.sampleStratified(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("mixEpochs: per-source tiers, row multiplication exact, broadcast join") {
+    import spark.implicits._
+    // three synthetic sources engineered into the three tiers:
+    // srcHi all-distinct tokens (ratio 1.0 > .45 → 3), srcMid ratio ~.44... need >.40 → 2,
+    // srcLo heavy repetition (ratio ~.25 → 1)
+    val docs = Seq(
+      (1L, "srcHi", "a b c d e f g h"),                // 8/8 = 1.0 → 3 epochs
+      (2L, "srcHi", "p q r s t"),                      // 5/5
+      (3L, "srcMid", "a b c d e a b c d e a b"),       // 5/12 ≈ .417 → 2 epochs
+      (4L, "srcLo", "x y x y x y x y x y x y x y x y") // 2/16 = .125 → 1 epoch
+    ).toDF("doc_id", "source", "text")
+    val out = Docs.mixEpochs(docs)
+    val rows = out.collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc(1L).length === 3 && byDoc(2L).length === 3)
+    assert(byDoc(3L).length === 2)
+    assert(byDoc(4L).length === 1)
+    // epoch runs 1..epochs for every doc
+    byDoc.foreach { case (_, rs) =>
+      val eps = rs.map(_.getAs[Long]("epoch")).sorted
+      assert(eps === (1L to rs.head.getAs[Long]("epochs")).toArray)
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("splitAssign: deterministic, in-range, threshold-consistent, shuffle-free") {
     val docs = spark.range(1, 2001).toDF("doc_id")
     val a = Docs.splitAssign(docs).orderBy("doc_id").collect()
