@@ -507,6 +507,16 @@ object SparkEntry {
       // data-recipe epoch reweighting: per-source integer tier compare →
       // broadcast join → map-side explode; exact all-integer twin
       Docs.mixEpochs(Tables.documents(s, d))),
+    "doc_decontam" -> ((s, d) =>
+      // test-set-leakage filter: flag train docs sharing any 5-gram with
+      // the held-out test split (same xxhash64 buckets as doc_split);
+      // gram-set equi join + one doc_id agg; exact XXH64 + shingle twin
+      Docs.decontam(Tables.documents(s, d))),
+    "doc_domain_cap" -> ((s, d) =>
+      // per-source frequency cap by deterministic hash rank; the shuffle
+      // is bounded by InferWindowGroupLimit (partial group-limit below the
+      // exchange, plan-pinned); exact XXH64 rank twin
+      Docs.domainCap(Tables.documents(s, d))),
     "doc_dedup_exact" -> ((s, d) =>
       Docs.dedupExact(Tables.documents(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
@@ -1289,6 +1299,43 @@ object SparkEntry {
            |  CAST(unnest(generate_series(1, e.epochs)) AS BIGINT) AS epoch
            |FROM (SELECT doc_id, source FROM documents) d
            |JOIN ep e USING (source)""".stripMargin,
+      "doc_decontam" -> {
+        // split buckets = the doc_split XXH64 chain; shingles = the proven
+        // doc_jaccard_exact slicing at n = DecontamNgram
+        val n = Docs.DecontamNgram
+        val h = OracleXxh.hashLongCtes("dx", "dxsrc", Seq("doc_id"),
+          OracleXxh.toUnsigned("doc_id"), "42")
+        s"""WITH dxsrc AS (SELECT doc_id FROM documents),
+           |$h,
+           |b AS (SELECT doc_id,
+           |  (((${OracleXxh.toSigned("h")}) % 100) + 100) % 100 AS bucket FROM dx_out),
+           |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= $n
+           |  THEN list_transform(range(1, len(t) - ${n - 2}), i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))
+           |  ELSE [] END)) AS gram FROM toks),
+           |tagged AS (SELECT s.doc_id, s.gram,
+           |  b.bucket >= ${Docs.DefaultTrainPct + Docs.DefaultValPct} AS is_bench
+           |FROM sh s JOIN b USING (doc_id)),
+           |bench AS (SELECT DISTINCT gram FROM tagged WHERE is_bench),
+           |hits AS (SELECT t.doc_id, count(*) AS n_hit FROM tagged t
+           |  JOIN bench USING (gram) WHERE NOT t.is_bench GROUP BY 1)
+           |SELECT d.doc_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+           |  CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+           |FROM b d LEFT JOIN hits h USING (doc_id)
+           |WHERE d.bucket < ${Docs.DefaultTrainPct + Docs.DefaultValPct}""".stripMargin
+      },
+      "doc_domain_cap" -> {
+        val h = OracleXxh.hashLongCtes("cap", "capsrc", Seq("doc_id", "source"),
+          OracleXxh.toUnsigned("doc_id"), "42")
+        s"""WITH capsrc AS (SELECT doc_id, source FROM documents),
+           |$h,
+           |r AS (SELECT doc_id, source,
+           |  row_number() OVER (PARTITION BY source
+           |    ORDER BY ${OracleXxh.toSigned("h")}, doc_id) AS rk
+           |FROM cap_out)
+           |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r
+           |WHERE rk <= ${Docs.DefaultDomainCap}""".stripMargin
+      },
       "doc_repetition" ->
         """WITH toks AS MATERIALIZED (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents

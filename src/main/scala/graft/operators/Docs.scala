@@ -466,6 +466,82 @@ object Docs {
         explode(sequence(lit(1L), col("epochs"))).as("epoch"))
   }
 
+  /** Shingle size for [[decontam]] — 5-gram overlap is the GPT-3/
+    * MassiveText-style contamination window scaled to this corpus's short
+    * synthetic texts (real pipelines use 8–13 tokens over web text).
+    */
+  val DecontamNgram = 5
+
+  /** Benchmark decontamination: flag every TRAIN document that shares any
+    * `n`-token shingle with the held-out test split (the [[splitAssign]]
+    * buckets ≥ trainPct+valPct — recomputed inline as the pure xxhash64
+    * projection so no join against a split table is needed). This is the
+    * test-set-leakage filter every serious LLM data pipeline runs before
+    * training (GPT-3 appendix C, MassiveText §A.3): a train doc containing
+    * a benchmark n-gram inflates eval scores without improving the model.
+    *
+    * Output: one row per train doc — `n_hit_grams` (distinct shingles
+    * shared with ANY test doc; shingles are per-doc distinct already) and
+    * `contaminated` (0/1). Scale shape: the test-side gram set is built by
+    * one distinct over ~10 % of the corpus's shingles, then the train side
+    * joins it on the gram string — a plain equi join that AQE turns into a
+    * broadcast at small scale; at 100 TB the same plan shuffle-joins, and
+    * the standard production hardening is a bloom-filter prefilter on
+    * `gram` before the exact join (the join stays the source of truth).
+    * One groupBy(doc_id) shuffle aggregates hits; the final left join back
+    * to the train-doc list only restores zero-hit docs whose text is
+    * shorter than `n` tokens (they produce no shingle rows).
+    */
+  def decontam(docs: DataFrame, n: Int = DecontamNgram,
+               trainPct: Int = DefaultTrainPct,
+               valPct: Int = DefaultValPct): DataFrame = {
+    val isBench = pmod(xxhash64(col("doc_id")), lit(100L)) >= (trainPct + valPct)
+    val tagged = docs.select(col("doc_id"),
+      graft.functions.Text.shingles(col("text"), n).as("grams"),
+      isBench.as("is_bench"))
+    val benchGrams = tagged.where(col("is_bench"))
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("bh", lit(1L))
+    val trainGrams = tagged.where(!col("is_bench"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val hits = trainGrams.join(benchGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("bh"), lit(0L))).as("n_hit_grams"))
+    tagged.where(!col("is_bench")).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).cast("long")
+          .as("contaminated"))
+  }
+
+  /** Per-source document cap for [[domainCap]] (Gopher/MassiveText-style
+    * domain frequency capping — interpolated into the SQL twin).
+    */
+  val DefaultDomainCap = 15
+
+  /** Domain frequency capping: keep at most `cap` documents per source,
+    * chosen by deterministic xxhash64 rank (MassiveText §A.1.3 caps
+    * documents per domain so one crawler-friendly site cannot dominate the
+    * training mix). Hash rank — not arrival order — makes the kept set a
+    * pure function of the ids: stable under repartitioning, re-reads, and
+    * corpus extension, like [[splitAssign]]. Ties (64-bit collisions)
+    * break on doc_id.
+    *
+    * Scale shape: `row_number ... WHERE rk <= cap` is rewritten by Spark's
+    * InferWindowGroupLimit into a PARTIAL WindowGroupLimit below the
+    * exchange, so the shuffle carries at most cap·partitions rows per
+    * source, not the whole corpus (plan-pinned in DocsSpec).
+    */
+  def domainCap(docs: DataFrame, cap: Int = DefaultDomainCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(xxhash64(col("doc_id")).asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap)
+  }
+
   /** Gopher-style within-document repetition scores (Rae et al. 2021
     * §A1.1, token-count variant of the character-fraction filters): per
     * doc, the n-gram totals / most-frequent-n-gram count / duplicated-

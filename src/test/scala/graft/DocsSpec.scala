@@ -266,4 +266,56 @@ class DocsSpec extends SparkSpec {
     val plan = Docs.splitAssign(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("decontam: flags exactly the train docs sharing a 5-gram with the test split") {
+    import spark.implicits._
+    // split membership is a pure function of doc_id; pick real bucket ids
+    val splits = Docs.splitAssign(spark.range(1, 201).toDF("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val testId = splits.collectFirst { case (id, "test") => id }.get
+    val train = splits.collect { case (id, "train") => id }.toSeq.sorted.take(4)
+    val rows = Seq(
+      (testId, "alpha beta gamma delta epsilon zeta"),
+      (train(0), "prefix alpha beta gamma delta epsilon suffix"), // shares ONE 5-gram
+      (train(1), "alpha beta gamma delta other tokens here pad"), // 4 shared tokens, no 5-gram
+      (train(2), "one two three four five six seven"),            // disjoint
+      (train(3), "tiny doc")                                      // < 5 tokens → zero grams
+    ).toDF("doc_id", "text")
+    val out = Docs.decontam(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit_grams"), r.getAs[Long]("contaminated"))).toMap
+    assert(out.keySet === train.toSet, "one row per TRAIN doc, test doc excluded")
+    assert(out(train(0)) === ((1L, 1L)))
+    assert(out(train(1)) === ((0L, 0L)))
+    assert(out(train(2)) === ((0L, 0L)))
+    assert(out(train(3)) === ((0L, 0L)), "short docs survive with zero hits")
+  }
+
+  test("domainCap: deterministic hash-rank cap, partial WindowGroupLimit below the exchange") {
+    import spark.implicits._
+    val docs = spark.range(0, 90)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(3))).as("source"),
+        lit("x").as("text"))
+    val capped = Docs.domainCap(docs)
+    val rows = capped.collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.keySet.size === 3)
+    bySrc.foreach { case (_, rs) =>
+      assert(rs.length === Docs.DefaultDomainCap)
+      assert(rs.map(_.getAs[Long]("rk")).sorted === (1L to 15L).toArray)
+    }
+    // the kept SET is a pure function of the ids — stable under input order
+    val shuffled = Docs.domainCap(docs.repartition(7, col("doc_id")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(shuffled === rows.map(_.getAs[Long]("doc_id")).sorted)
+    // scale shape: rk<=cap must plan a PARTIAL WindowGroupLimit below the
+    // exchange so the shuffle carries ≤ cap·partitions rows per source
+    val lines = capped.queryExecution.executedPlan.toString.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(partialIdx >= 0, s"no partial WindowGroupLimit:\n${lines.mkString("\n")}")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      "partial WindowGroupLimit must sit BELOW the exchange")
+  }
 }
