@@ -517,6 +517,15 @@ object SparkEntry {
       // is bounded by InferWindowGroupLimit (partial group-limit below the
       // exchange, plan-pinned); exact XXH64 rank twin
       Docs.domainCap(Tables.documents(s, d))),
+    "doc_pack" -> ((s, d) =>
+      // GPT-style concat-and-chunk sequence packing: xxhash64 shard fan-out
+      // → per-shard window cumsum → integer-DIV sequence index; all-integer
+      // arithmetic so the XXH64 + window-sum twin is bit-identical
+      Docs.packSequences(Tables.documents(s, d))),
+    "doc_postings" -> ((s, d) =>
+      // inverted index with a VISIBLE posting cap: fixed-width stats agg +
+      // semi-join-gated postings so stopword lists never ride a shuffle
+      Docs.invertedIndex(Tables.documents(s, d))),
     "doc_dedup_exact" -> ((s, d) =>
       Docs.dedupExact(Tables.documents(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
@@ -1336,6 +1345,37 @@ object SparkEntry {
            |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r
            |WHERE rk <= ${Docs.DefaultDomainCap}""".stripMargin
       },
+      "doc_pack" -> {
+        val h = OracleXxh.hashLongCtes("pk", "pksrc", Seq("doc_id", "n_tokens"),
+          OracleXxh.toUnsigned("doc_id"), "42")
+        s"""WITH pksrc AS (SELECT doc_id,
+           |  CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           |FROM documents),
+           |$h,
+           |sh AS (SELECT doc_id, n_tokens,
+           |  (((${OracleXxh.toSigned("h")}) % ${Docs.PackShards}) + ${Docs.PackShards}) % ${Docs.PackShards} AS shard
+           |FROM pk_out),
+           |o AS (SELECT doc_id, shard, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start_off
+           |FROM sh)
+           |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           |  CAST(start_off AS BIGINT) AS start_off,
+           |  CAST(start_off // ${Docs.PackBudget} AS BIGINT) AS seq_id
+           |FROM o""".stripMargin
+      },
+      "doc_postings" ->
+        s"""WITH tok AS MATERIALIZED (
+           |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+           |  FROM documents
+           |),
+           |stats AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM tok GROUP BY token),
+           |posts AS (SELECT token,
+           |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+           |FROM tok WHERE token IN (SELECT token FROM stats WHERE df <= ${Docs.PostingsCap})
+           |GROUP BY token)
+           |SELECT s.token, s.df, s.min_doc, s.max_doc, p.postings
+           |FROM stats s LEFT JOIN posts p USING (token)""".stripMargin,
       "doc_repetition" ->
         """WITH toks AS MATERIALIZED (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents

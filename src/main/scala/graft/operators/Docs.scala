@@ -542,6 +542,72 @@ object Docs {
       .where(col("rk") <= cap)
   }
 
+  /** Packing parameters for [[packSequences]] — tokens per packed training
+    * sequence and the shard fan-out (interpolated into the SQL twin).
+    */
+  val PackBudget = 64
+  val PackShards = 8
+
+  /** Sequence packing (the GPT-style concat-and-chunk step): documents are
+    * concatenated in a deterministic order and cut into fixed `budget`-token
+    * training sequences; each doc is assigned the sequence containing its
+    * start offset. A global concatenation order cannot scale (one window
+    * over everything = one partition), so the corpus is first fanned out
+    * into `shards` independent packing streams by xxhash64(doc_id) — the
+    * same move a distributed packer makes — and the running offset is a
+    * window sum WITHIN each shard, ordered by doc_id (unique → total order,
+    * reproducible under repartitioning). All arithmetic is exact integers
+    * (window sums of token counts, integer DIV for the sequence index), so
+    * the DuckDB twin is bit-identical. Scale shape: ONE hash-partitioned
+    * window per shard; shards is sized to the cluster, not the corpus.
+    */
+  def packSequences(docs: DataFrame, budget: Int = PackBudget,
+                    shards: Int = PackShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(split(trim(col("text")), "\\s+")).cast("long")
+    val base = docs.select(col("doc_id"), n.as("n_tokens"),
+      pmod(xxhash64(col("doc_id")), lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    base.withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        ((col("end_off") - col("n_tokens")) - pmod(col("end_off") - col("n_tokens"), lit(budget.toLong)))
+          .divide(lit(budget.toLong)).cast("long").as("seq_id"))
+  }
+
+  /** Posting-list cap for [[invertedIndex]] — full postings are emitted
+    * only for tokens with document frequency ≤ cap; hot tokens (stopwords)
+    * keep their exact df/min/max but a NULL postings string (an explicit,
+    * visible bound — a stopword's full posting list is both useless and a
+    * straggler row at corpus scale).
+    */
+  val PostingsCap = 64
+
+  /** Inverted index over whitespace tokens: per token, document frequency,
+    * min/max doc id, and (for df ≤ [[PostingsCap]]) the full sorted posting
+    * list as a comma-joined string (strings compare exactly cross-engine;
+    * array columns don't survive the gate's pandas equality). Scale shape:
+    * two passes so a stopword's corpus-sized posting list NEVER rides a
+    * shuffle — pass 1 aggregates fixed-width stats (df/min/max) per token;
+    * pass 2 collects postings ONLY for tokens that pass the df ≤ cap gate
+    * (left-semi against the under-cap token set, itself tiny). The final
+    * stats↔postings join is on the aggregation key, so both sides are
+    * already hash-partitioned by token and no extra exchange is planned.
+    */
+  def invertedIndex(docs: DataFrame, cap: Int = PostingsCap): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
+    val stats = tok.groupBy("token").agg(count(lit(1)).as("df"),
+      min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    val small = stats.where(col("df") <= cap).select("token")
+    val posts = tok.join(small, Seq("token"), "left_semi")
+      .groupBy("token")
+      .agg(array_join(sort_array(collect_set(col("doc_id"))), ",").as("postings"))
+    stats.join(posts, Seq("token"), "left")
+      .select(col("token"), col("df"), col("min_doc"), col("max_doc"),
+        col("postings"))
+  }
+
   /** Gopher-style within-document repetition scores (Rae et al. 2021
     * §A1.1, token-count variant of the character-fraction filters): per
     * doc, the n-gram totals / most-frequent-n-gram count / duplicated-

@@ -318,4 +318,53 @@ class DocsSpec extends SparkSpec {
     assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
       "partial WindowGroupLimit must sit BELOW the exchange")
   }
+
+  test("packSequences: per-shard running offsets, integer seq index, order-stable") {
+    import spark.implicits._
+    val docs = spark.range(1, 101)
+      .select(col("id").as("doc_id"),
+        // token counts 10,20,30 cycling — every offset is a known integer
+        concat_ws(" ", array_repeat(lit("w"), (pmod(col("id"), lit(3)) * 10 + 10).cast("int")))
+          .as("text"))
+    val out = Docs.packSequences(docs).collect()
+    assert(out.length === 100)
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var running = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_off") === running, s"offset chain broke at $r")
+        assert(r.getAs[Long]("seq_id") === running / Docs.PackBudget)
+        running += r.getAs[Long]("n_tokens")
+      }
+    }
+    // deterministic under input partitioning
+    val again = Docs.packSequences(docs.repartition(7, col("doc_id")))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"))).toMap
+    out.foreach(r => assert(again(r.getAs[Long]("doc_id")) === r.getAs[Long]("seq_id")))
+  }
+
+  test("invertedIndex: exact df/min/max, postings only under the cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana"),
+      (3L, "apple date date"), // in-doc repeat counts once
+      (4L, "banana")
+    ).toDF("doc_id", "text")
+    val out = Docs.invertedIndex(docs, cap = 2).collect()
+      .map(r => r.getAs[String]("token") -> r).toMap
+    assert(out("apple").getAs[Long]("df") === 3L)
+    assert(out("apple").getAs[String]("postings") === null, "df over cap → no postings")
+    assert(out("apple").getAs[Long]("min_doc") === 1L)
+    assert(out("apple").getAs[Long]("max_doc") === 3L)
+    assert(out("banana").getAs[Long]("df") === 3L)
+    assert(out("cherry").getAs[String]("postings") === "1")
+    assert(out("date").getAs[Long]("df") === 1L)
+    assert(out("date").getAs[String]("postings") === "3")
+    // sorted, comma-joined, numeric order
+    val two = Docs.invertedIndex(docs, cap = 3).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[String]("postings")).toMap
+    assert(two("apple") === "1,2,3")
+    assert(two("banana") === "1,2,4")
+  }
 }
