@@ -341,6 +341,9 @@ class DocsSpec extends SparkSpec {
     val again = Docs.packSequences(docs.repartition(7, col("doc_id")))
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"))).toMap
     out.foreach(r => assert(again(r.getAs[Long]("doc_id")) === r.getAs[Long]("seq_id")))
+    // scale shape: exactly ONE shuffle — the hash fan-out to packing shards
+    val plan = Docs.packSequences(docs).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
   }
 
   test("invertedIndex: exact df/min/max, postings only under the cap") {
@@ -366,5 +369,23 @@ class DocsSpec extends SparkSpec {
       .map(r => r.getAs[String]("token") -> r.getAs[String]("postings")).toMap
     assert(two("apple") === "1,2,3")
     assert(two("banana") === "1,2,4")
+    // scale shape: three bounded aggregation shuffles (stats, the df gate,
+    // cap-gated postings); postings payloads only ever shuffle for tokens
+    // that passed the semi-join gate
+    val plan = Docs.invertedIndex(docs).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 3, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("decontam scale shape: two hash shuffles, gram join broadcastable") {
+    import spark.implicits._
+    val docs = spark.range(1, 301)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", array_repeat(concat(lit("w"), pmod(col("id"), lit(9))), 12)).as("text"))
+    val plan = Docs.decontam(docs).queryExecution.executedPlan.toString
+    // bench-gram distinct + per-doc hit agg; the gram and doc joins ride
+    // broadcasts (AQE shuffle-joins the gram side at corpus scale instead)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 }
