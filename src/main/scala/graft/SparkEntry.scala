@@ -526,6 +526,11 @@ object SparkEntry {
       // inverted index with a VISIBLE posting cap: fixed-width stats agg +
       // semi-join-gated postings so stopword lists never ride a shuffle
       Docs.invertedIndex(Tables.documents(s, d))),
+    "doc_rare" -> ((s, d) =>
+      // perplexity-sibling quality score: per-doc fraction of occurrences
+      // of corpus-rare tokens; tf⋈df join (no vocab broadcast — the long
+      // tail IS the vocabulary at web scale); exact ints + one division
+      Docs.rareTokenRatio(Tables.documents(s, d))),
     "doc_dedup_exact" -> ((s, d) =>
       Docs.dedupExact(Tables.documents(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
@@ -1376,6 +1381,20 @@ object SparkEntry {
            |GROUP BY token)
            |SELECT s.token, s.df, s.min_doc, s.max_doc, p.postings
            |FROM stats s LEFT JOIN posts p USING (token)""".stripMargin,
+      "doc_rare" ->
+        s"""WITH tok AS MATERIALIZED (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+           |  FROM documents
+           |),
+           |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |tot AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN df * ${Docs.RareInvFrac} < (SELECT n_docs FROM tot) THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+           |  CAST(sum(CASE WHEN df * ${Docs.RareInvFrac} < (SELECT n_docs FROM tot) THEN tf ELSE 0 END) AS DOUBLE)
+           |    / CAST(sum(tf) AS DOUBLE) AS rare_ratio
+           |FROM tf JOIN dfx USING (token)
+           |GROUP BY doc_id""".stripMargin,
       "doc_repetition" ->
         """WITH toks AS MATERIALIZED (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents

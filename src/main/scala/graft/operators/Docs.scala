@@ -608,6 +608,43 @@ object Docs {
         col("postings"))
   }
 
+  /** Rarity rule for [[rareTokenRatio]]: a token is rare iff
+    * df · RareInvFrac < n_docs (appears in under 1/RareInvFrac of all
+    * docs) — integer cross-multiplication, exact in both engines.
+    */
+  val RareInvFrac = 10
+
+  /** Rare-token ratio: per document, the fraction of token OCCURRENCES
+    * whose corpus-wide document frequency is below 1/[[RareInvFrac]] of the
+    * corpus. This is the integer-exact sibling of LM-perplexity quality
+    * filtering (CCNet/Gopher): junk docs skew toward either all-stopwords
+    * (ratio ~0 with tiny length) or gibberish (ratio ~1).
+    *
+    * Scale shape: deliberately NO rare-token broadcast — in a web corpus
+    * the long tail (hapax legomena) IS most of the vocabulary, so the rare
+    * set cannot broadcast. Instead per-doc term frequencies (map-side
+    * partial agg) join corpus df on the token key, and the per-doc rollup
+    * applies the rarity rule inline; a stopword's tf rows are skewed onto
+    * one join key, but it's a JOIN (AQE skew-split applies), not an agg
+    * funnel. All counts exact integers; the ratio is ONE int/int IEEE
+    * division after aggregation — bit-identical cross-engine.
+    */
+  def rareTokenRatio(docs: DataFrame, invFrac: Int = RareInvFrac): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTok = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfTok, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("df") * invFrac < col("n_docs"), col("tf"))
+          .otherwise(lit(0L))).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        (col("n_rare") / col("n_tokens")).as("rare_ratio"))
+  }
+
   /** Gopher-style within-document repetition scores (Rae et al. 2021
     * §A1.1, token-count variant of the character-fraction filters): per
     * doc, the n-gram totals / most-frequent-n-gram count / duplicated-

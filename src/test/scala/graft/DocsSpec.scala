@@ -377,6 +377,31 @@ class DocsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("rareTokenRatio: occurrence-weighted rarity under the integer cross-multiply rule") {
+    import spark.implicits._
+    // 5 docs, invFrac=2 → rare iff df·2 < 5, i.e. df ≤ 2
+    val rows = Seq(
+      (1L, "x r r r"),   // r: df 1 → rare; 3 rare occurrences of 4
+      (2L, "x s"),       // s: df 2 → rare; 1 of 2
+      (3L, "x s t"),     // 1 of 3 (s rare, t df 3 not)
+      (4L, "x t"),       // 0 of 2
+      (5L, "x t x x")    // x: df 5 → not rare; 0 of 4
+    ).toDF("doc_id", "text")
+    val out = Docs.rareTokenRatio(rows, invFrac = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_rare"), r.getAs[Double]("rare_ratio"))).toMap
+    assert(out(1L) === ((4L, 3L, 0.75)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((3L, 1L, 1.0 / 3.0)))
+    assert(out(4L) === ((2L, 0L, 0.0)))
+    assert(out(5L) === ((4L, 0L, 0.0)))
+    // no vocab-sized broadcast: the tf⋈df join must not build the token
+    // dimension as a broadcast of the FULL df table (the tiny n_docs
+    // scalar is the only sanctioned broadcast)
+    val plan = Docs.rareTokenRatio(rows).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("decontam scale shape: two hash shuffles, gram join broadcastable") {
     import spark.implicits._
     val docs = spark.range(1, 301)
