@@ -531,6 +531,11 @@ object SparkEntry {
       // of corpus-rare tokens; tf⋈df join (no vocab broadcast — the long
       // tail IS the vocabulary at web scale); exact ints + one division
       Docs.rareTokenRatio(Tables.documents(s, d))),
+    "doc_assembly" -> ((s, d) =>
+      // the capstone: dedup → token gate → split → decontam-drop →
+      // domain cap → train packing → per-(split,source) summary, ONE
+      // plan under ONE oracle; a single XXH64 serves split/cap/shard
+      Docs.assembleDataset(Tables.documents(s, d))),
     "doc_dedup_exact" -> ((s, d) =>
       Docs.dedupExact(Tables.documents(s, d))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
@@ -1381,6 +1386,64 @@ object SparkEntry {
            |GROUP BY token)
            |SELECT s.token, s.df, s.min_doc, s.max_doc, p.postings
            |FROM stats s LEFT JOIN posts p USING (token)""".stripMargin,
+      "doc_assembly" -> {
+        val n = Docs.DecontamNgram
+        val h = OracleXxh.hashLongCtes("ah", "gsrc", Seq("doc_id"),
+          OracleXxh.toUnsigned("doc_id"), "42")
+        val tv = Docs.DefaultTrainPct; val tvv = tv + Docs.DefaultValPct
+        s"""WITH keep AS MATERIALIZED (
+           |  SELECT doc_id, source, text FROM (
+           |    SELECT doc_id, source, text,
+           |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM documents) t WHERE rn = 1
+           |),
+           |g AS MATERIALIZED (
+           |  SELECT doc_id, source, text,
+           |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           |  FROM keep
+           |  WHERE length(regexp_split_to_array(trim(text), '\\s+'))
+           |    BETWEEN ${Docs.PipelineMinTokens} AND ${Docs.PipelineMaxTokens}
+           |),
+           |gsrc AS (SELECT doc_id FROM g),
+           |$h,
+           |hx AS MATERIALIZED (SELECT doc_id, ${OracleXxh.toSigned("h")} AS hs FROM ah_out),
+           |t2 AS MATERIALIZED (
+           |  SELECT g.doc_id, g.source, g.text, g.n_tokens, hx.hs,
+           |    CASE WHEN ((hx.hs % 100) + 100) % 100 < $tv THEN 'train'
+           |         WHEN ((hx.hs % 100) + 100) % 100 < $tvv THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM g JOIN hx USING (doc_id)
+           |),
+           |sh5 AS MATERIALIZED (
+           |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= $n
+           |    THEN list_transform(range(1, len(t) - ${n - 2}), i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))
+           |    ELSE [] END)) AS gram
+           |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM t2) q
+           |),
+           |bench AS (SELECT DISTINCT s.gram FROM sh5 s JOIN t2 USING (doc_id) WHERE t2.split = 'test'),
+           |bad AS (SELECT DISTINCT s.doc_id FROM sh5 s JOIN t2 USING (doc_id)
+           |  WHERE t2.split = 'train' AND s.gram IN (SELECT gram FROM bench)),
+           |kept AS MATERIALIZED (SELECT doc_id, source, n_tokens, split, hs FROM t2
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+           |capped AS MATERIALIZED (SELECT doc_id, source, n_tokens, split, hs FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS rk
+           |  FROM kept) c WHERE rk <= ${Docs.DefaultDomainCap}),
+           |shd AS MATERIALIZED (SELECT doc_id, n_tokens,
+           |  ((hs % ${Docs.PackShards}) + ${Docs.PackShards}) % ${Docs.PackShards} AS shard
+           |  FROM capped WHERE split = 'train'),
+           |pk AS MATERIALIZED (SELECT doc_id,
+           |  CAST(shard * 1000000 +
+           |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) // ${Docs.PackBudget}
+           |    AS BIGINT) AS seq_key
+           |  FROM shd)
+           |SELECT c.split, c.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(c.n_tokens) AS BIGINT) AS tokens_sum,
+           |  min(c.doc_id) AS min_doc, max(c.doc_id) AS max_doc,
+           |  CAST(sum(c.doc_id) AS BIGINT) AS doc_id_sum,
+           |  CAST(count(DISTINCT p.seq_key) AS BIGINT) AS n_seqs
+           |FROM capped c LEFT JOIN pk p USING (doc_id)
+           |GROUP BY 1, 2""".stripMargin
+      },
       "doc_rare" ->
         s"""WITH tok AS MATERIALIZED (
            |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

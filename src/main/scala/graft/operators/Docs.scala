@@ -608,6 +608,79 @@ object Docs {
         col("postings"))
   }
 
+  /** The WHOLE training-dataset assembly as ONE declarative plan — the
+    * capstone composition of the stage operators, in production order:
+    *
+    *   1. exact dedup (min-doc_id per md5 content digest);
+    *   2. token-count gate (n_tokens ∈ [minTokens, maxTokens]);
+    *   3. deterministic train/val/test split ([[splitAssign]] buckets);
+    *   4. decontamination — DROP train docs sharing a
+    *      [[DecontamNgram]]-gram with any surviving test doc;
+    *   5. per-source frequency cap ([[domainCap]] rank rule);
+    *   6. concat-and-chunk packing of the surviving TRAIN docs
+    *      ([[packSequences]] shard/offset rule);
+    *   7. per-(split, source) summary: doc/token counts, membership-
+    *      pinning id extremes/sums, and the packed-sequence count.
+    *
+    * Everything is exact cross-engine arithmetic (md5 digest, XXH64
+    * buckets/ranks/shards, integer window sums), so the ENTIRE pipeline
+    * runs under one DuckDB oracle — membership of every doc in every
+    * stage is pinned by the summary's id sums. One XXH64 evaluation
+    * serves stages 3, 5 and 6 (bucket, cap rank, pack shard are all
+    * functions of hashLong(doc_id, 42)).
+    *
+    * Scale shape, stage by stage: one uniform digest shuffle (1); pure
+    * projections (2, 3); a gram equi join against the test split's gram
+    * set + a doc_id anti join (4 — AQE broadcasts both small sides here,
+    * shuffle-joins at corpus scale); a per-source window whose shuffle is
+    * bounded by the partial WindowGroupLimit (5); a per-shard window (6);
+    * one tiny final aggregation (7). No stage funnels the corpus through
+    * a driver or an unbounded key.
+    */
+  def assembleDataset(docs: DataFrame,
+                      minTokens: Int = PipelineMinTokens,
+                      maxTokens: Int = PipelineMaxTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col("text")), "\\s+")
+    val h = xxhash64(col("doc_id"))
+    val bucket = pmod(h, lit(100L))
+    val tagged = dedupExact(docs)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .where(col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("split",
+        when(bucket < DefaultTrainPct, lit("train"))
+          .when(bucket < DefaultTrainPct + DefaultValPct, lit("val"))
+          .otherwise(lit("test")))
+      .withColumn("grams", graft.functions.Text.shingles(col("text"), DecontamNgram))
+      .select("doc_id", "source", "n_tokens", "split", "grams")
+    val benchGrams = tagged.where(col("split") === "test")
+      .select(explode(col("grams")).as("gram")).distinct()
+    val contaminated = tagged.where(col("split") === "train")
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    val kept = tagged.drop("grams")
+      .join(contaminated.withColumnRenamed("doc_id", "bad_doc"),
+        col("doc_id") === col("bad_doc"), "left_anti")
+    val capW = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    val capped = kept.withColumn("rk", row_number().over(capW))
+      .where(col("rk") <= DefaultDomainCap).drop("rk")
+    val packW = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val packed = capped.where(col("split") === "train")
+      .withColumn("shard", pmod(h, lit(PackShards.toLong)))
+      .withColumn("start_off", sum(col("n_tokens")).over(packW) - col("n_tokens"))
+      .select(col("doc_id").as("pk_doc"),
+        (col("shard") * 1000000L +
+          (col("start_off") - pmod(col("start_off"), lit(PackBudget.toLong)))
+            .divide(lit(PackBudget.toLong)).cast("long")).as("seq_key"))
+    capped.join(packed, col("doc_id") === col("pk_doc"), "left")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_sum"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        sum("doc_id").as("doc_id_sum"),
+        countDistinct(col("seq_key")).as("n_seqs"))
+  }
+
   /** Rarity rule for [[rareTokenRatio]]: a token is rare iff
     * df · RareInvFrac < n_docs (appears in under 1/RareInvFrac of all
     * docs) — integer cross-multiplication, exact in both engines.

@@ -402,6 +402,54 @@ class DocsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("assembleDataset == the stage operators composed by hand") {
+    import spark.implicits._
+    val corpus = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Docs.assembleDataset(corpus).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[String]("source")) -> r).toMap
+
+    // recompute membership stage by stage with the PUBLIC operators
+    val gated = Docs.dedupExact(corpus)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .where(col("n_tokens").between(Docs.PipelineMinTokens, Docs.PipelineMaxTokens))
+    val splits = Docs.splitAssign(gated)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val contaminated = Docs.decontam(gated.select(col("doc_id"), col("text")))
+      .where(col("contaminated") === 1L).select("doc_id").as[Long].collect().toSet
+    val keptRows = gated.select("doc_id", "source", "n_tokens").collect()
+      .filter(r => !contaminated.contains(r.getAs[Long]("doc_id")))
+    val kept = keptRows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+      r.getAs[Long]("n_tokens"), splits(r.getAs[Long]("doc_id"))))
+    val keptDf = kept.toSeq.toDF("doc_id", "source", "n_tokens", "split")
+    val cappedIds = Docs.domainCap(keptDf).select("doc_id").as[Long].collect().toSet
+    val capped = kept.filter(t => cappedIds.contains(t._1))
+
+    // summary parity: docs / tokens / id-sum per (split, source)
+    val expect = capped.groupBy(t => (t._4, t._2)).map { case (k, ts) =>
+      k -> (ts.length.toLong, ts.map(_._3).sum, ts.map(_._1).sum) }
+    assert(out.keySet === expect.keySet)
+    expect.foreach { case (k, (n, toks, idSum)) =>
+      val r = out(k)
+      assert(r.getAs[Long]("n_docs") === n, s"$k n_docs")
+      assert(r.getAs[Long]("tokens_sum") === toks, s"$k tokens_sum")
+      assert(r.getAs[Long]("doc_id_sum") === idSum, s"$k doc_id_sum")
+    }
+    // packing parity: n_seqs = distinct (shard, seq) over surviving train
+    // docs per source, via the public packSequences on the same survivors
+    val trainIds = capped.filter(_._4 == "train").map(_._1).toSet
+    val packed = Docs.packSequences(
+        corpus.where(col("doc_id").isin(trainIds.toSeq.map(Long.box): _*)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"))).toMap
+    val srcOf = capped.map(t => t._1 -> t._2).toMap
+    val expSeqs = trainIds.groupBy(srcOf).view.mapValues(_.map(packed).size.toLong).toMap
+    out.foreach { case ((sp, src), r) =>
+      val n = r.getAs[Long]("n_seqs")
+      if (sp == "train") assert(n === expSeqs(src), s"$src n_seqs")
+      else assert(n === 0L, s"non-train rows pack nothing: $sp/$src")
+    }
+  }
+
   test("decontam scale shape: two hash shuffles, gram join broadcastable") {
     import spark.implicits._
     val docs = spark.range(1, 301)
