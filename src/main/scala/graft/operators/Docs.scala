@@ -633,9 +633,18 @@ object Docs {
     * projections (2, 3); a gram equi join against the test split's gram
     * set + a doc_id anti join (4 — AQE broadcasts both small sides here,
     * shuffle-joins at corpus scale); a per-source window whose shuffle is
-    * bounded by the partial WindowGroupLimit (5); a per-shard window (6);
-    * one tiny final aggregation (7). No stage funnels the corpus through
-    * a driver or an unbounded key.
+    * bounded by the partial WindowGroupLimit (5); a (split, shard) window
+    * (6 — partitioned by split AND shard so packing needs NO self-join
+    * back onto the pipeline: Spark has no common-subplan elimination, and
+    * a separate train-only packing branch re-evaluated the whole
+    * dedup→decontam→cap chain twice; non-train rows ride the same window
+    * spread across shards with their offsets simply unused, so no split
+    * becomes a one-partition funnel); one tiny final aggregation (7).
+    * The corpus itself flows through ONE linear chain; the only repeated
+    * work is the two decontam side-inputs (the test-split gram set and
+    * the contaminated-id set), each a lean re-scan of the deduped subtree
+    * feeding a join's build side — bounded projections, not recomputes of
+    * any later stage. Exchange count is pinned in DocsSpec.
     */
   def assembleDataset(docs: DataFrame,
                       minTokens: Int = PipelineMinTokens,
@@ -665,15 +674,14 @@ object Docs {
     val capW = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
     val capped = kept.withColumn("rk", row_number().over(capW))
       .where(col("rk") <= DefaultDomainCap).drop("rk")
-    val packW = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    val packed = capped.where(col("split") === "train")
-      .withColumn("shard", pmod(h, lit(PackShards.toLong)))
-      .withColumn("start_off", sum(col("n_tokens")).over(packW) - col("n_tokens"))
-      .select(col("doc_id").as("pk_doc"),
-        (col("shard") * 1000000L +
-          (col("start_off") - pmod(col("start_off"), lit(PackBudget.toLong)))
-            .divide(lit(PackBudget.toLong)).cast("long")).as("seq_key"))
-    capped.join(packed, col("doc_id") === col("pk_doc"), "left")
+    val packW = Window.partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+    val startOff = sum(col("n_tokens")).over(packW) - col("n_tokens")
+    capped.withColumn("shard", pmod(h, lit(PackShards.toLong)))
+      .withColumn("seq_key",
+        when(col("split") === "train",
+          col("shard") * 1000000L +
+            (startOff - pmod(startOff, lit(PackBudget.toLong)))
+              .divide(lit(PackBudget.toLong)).cast("long")))
       .groupBy("split", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_sum"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),

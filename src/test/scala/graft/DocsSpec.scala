@@ -448,6 +448,14 @@ class DocsSpec extends SparkSpec {
       if (sp == "train") assert(n === expSeqs(src), s"$src n_seqs")
       else assert(n === 0L, s"non-train rows pack nothing: $sp/$src")
     }
+
+    // scale shape: the corpus rides ONE linear chain (digest → anti-join →
+    // cap → pack window → agg); packing must NOT self-join a second
+    // evaluation of the pipeline (caught at 13 exchanges before the
+    // (split, shard) window rewrite — now ≤ 9 incl. the two lean decontam
+    // side-input scans)
+    val plan = Docs.assembleDataset(corpus).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 9, plan)
   }
 
   test("decontam scale shape: two hash shuffles, gram join broadcastable") {
