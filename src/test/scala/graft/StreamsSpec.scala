@@ -32,6 +32,36 @@ class StreamsSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("n_points") === 2L)
   }
 
+  test("stateless dataset-assembly projections run unchanged on a stream") {
+    // splitAssign / sampleStratified are pure per-row functions of the id,
+    // so the SAME operator works in a readStream pipeline with no watermark
+    // or state — the property a unified batch/stream assembly needs: a doc
+    // gets the same split whether it arrives in a backfill or live
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Docs
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "lang")
+    val q1 = Docs.sampleStratified(df)
+      .writeStream.format("memory").queryName("stream_sample").outputMode("append").start()
+    val q2 = Docs.splitAssign(df.select("doc_id"))
+      .writeStream.format("memory").queryName("stream_split").outputMode("append").start()
+    input.addData((1L to 50L).map(i => (i, if (i % 2 == 0) "en" else "zh")): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val sampled = spark.sql("SELECT doc_id, lang, bucket FROM stream_sample")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val splits = spark.sql("SELECT doc_id, split FROM stream_split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    q1.stop(); q2.stop()
+    val data = (1L to 50L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+    val batchSampled = Docs.sampleStratified(data.toDF("doc_id", "lang"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("bucket"))).toSet
+    val batchSplits = Docs.splitAssign(data.toDF("doc_id", "lang").select("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
+    assert(sampled === batchSampled, "stream and batch keep the same docs with the same buckets")
+    assert(splits === batchSplits, "stream and batch assign identical splits")
+  }
+
   test("streaming dedup drops in-horizon repeats, keeps distinct texts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
