@@ -515,6 +515,59 @@ object Docs {
           .as("contaminated"))
   }
 
+  /** The 100 TB hardening [[decontam]]'s Scaladoc promises, made real:
+    * the same contamination semantics with a BLOOM prefilter on the gram
+    * key before the exact join. The bench-side gram set aggregates into
+    * Spark's own `BloomFilterAggregate` sketch (the Catalyst aggregate
+    * behind runtime row-level filtering — a native TypedImperativeAggregate
+    * with partial merge, reached through ColumnBridge; no UDF), the sketch
+    * is collected to the driver — a BOUNDED seam: numBits/8 bytes,
+    * independent of corpus size, the same contract as df.stat.bloomFilter —
+    * and re-broadcast as a literal inside `might_contain` over
+    * xxhash64(gram), discarding the bulk of clean train grams map-side
+    * BEFORE the join. The exact semi join still runs on the survivors, so
+    * bloom false positives cannot change results: output is row-identical
+    * to [[decontam]] (spec-pinned), which is also why the ORACLE for this
+    * path is decontam's own twin.
+    */
+  def decontamBloom(docs: DataFrame, n: Int = DecontamNgram,
+                    trainPct: Int = DefaultTrainPct,
+                    valPct: Int = DefaultValPct,
+                    expectedGrams: Long = 1L << 16,
+                    numBits: Long = 8L << 16): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val isBench = pmod(xxhash64(col("doc_id")), lit(100L)) >= (trainPct + valPct)
+    val tagged = docs.select(col("doc_id"),
+      graft.functions.Text.shingles(col("text"), n).as("grams"),
+      isBench.as("is_bench"))
+    val benchGrams = tagged.where(col("is_bench"))
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("bh", lit(1L))
+    val bfAgg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("gram"))),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
+    val bloomBytes = benchGrams
+      .select(ColumnBridge.column(bfAgg).as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col("gram")))))
+    val trainGrams = tagged.where(!col("is_bench"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .where(mightContain)
+    val hits = trainGrams.join(benchGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("bh"), lit(0L))).as("n_hit_grams"))
+    tagged.where(!col("is_bench")).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).cast("long")
+          .as("contaminated"))
+  }
+
   /** Per-source document cap for [[domainCap]] (Gopher/MassiveText-style
     * domain frequency capping — interpolated into the SQL twin).
     */

@@ -458,6 +458,19 @@ class DocsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 9, plan)
   }
 
+  test("decontamBloom: row-identical to decontam, might_contain prefilter in the plan") {
+    val corpus = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Docs.decontam(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val bloom = Docs.decontamBloom(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(bloom === exact, "bloom false positives must be removed by the exact join")
+    // the prefilter must sit in the plan as a might_contain predicate on
+    // the train-gram side (map-side discard before the join)
+    val plan = Docs.decontamBloom(corpus).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("decontam scale shape: two hash shuffles, gram join broadcastable") {
     import spark.implicits._
     val docs = spark.range(1, 301)
