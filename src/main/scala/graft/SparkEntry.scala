@@ -604,6 +604,11 @@ object SparkEntry {
     }),
 
     // ---- similarity search ----------------------------------------------
+    "emb_quant" -> ((s, d) =>
+      // int8 scalar quantization: per-dim corpus min/max bounds → one
+      // identical IEEE expression → integer codes; checksum outputs pin
+      // every code; dims-key agg + broadcast, no HOFs
+      Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "emb_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
@@ -1576,6 +1581,26 @@ object SparkEntry {
       "doc_jaccard" -> OracleXxh.docJaccardSql,
       "emb_lsh" -> OracleXxh.embLshSql(dim = 64, bits = 4, tables = 8, k = 5, queryMod = 100),
 
+      "emb_quant" ->
+        """WITH ex AS MATERIALIZED (
+          |  SELECT vec_id,
+          |    unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+          |    unnest(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE))) AS v
+          |  FROM embeddings
+          |),
+          |b AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM ex GROUP BY dim)
+          |SELECT e.vec_id,
+          |  CAST(sum(CASE WHEN b.hi > b.lo
+          |    THEN CAST(floor((e.v - b.lo) * (2.55e2 / (b.hi - b.lo))) AS BIGINT)
+          |    ELSE 0 END) AS BIGINT) AS code_sum,
+          |  min(CASE WHEN b.hi > b.lo
+          |    THEN CAST(floor((e.v - b.lo) * (2.55e2 / (b.hi - b.lo))) AS BIGINT)
+          |    ELSE 0 END) AS code_min,
+          |  max(CASE WHEN b.hi > b.lo
+          |    THEN CAST(floor((e.v - b.lo) * (2.55e2 / (b.hi - b.lo))) AS BIGINT)
+          |    ELSE 0 END) AS code_max
+          |FROM ex e JOIN b USING (dim)
+          |GROUP BY e.vec_id""".stripMargin,
       "emb_norms" ->
         """SELECT vec_id, label,
           |  round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm

@@ -27,6 +27,39 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Int8 scalar quantization of the embedding column — the storage-
+    * compression step a vector pipeline runs before indexing (4× smaller
+    * than float32; codes feed asymmetric-distance search). Per dimension,
+    * corpus-wide min/max train the quantizer; each value maps to
+    * floor((v − min_d) · (255 / (max_d − min_d))), a SINGLE double
+    * expression mirrored verbatim in the oracle, so the codes are
+    * bit-identical cross-engine (min/max of floats are order-independent
+    * aggregates, float→double widening is exact, and both engines evaluate
+    * the same IEEE expression tree). Degenerate dimensions (max = min)
+    * quantize to 0. Output per vector: exact integer code sum / min / max
+    * — the checksum that pins every code without shipping 64 columns.
+    *
+    * Scale shape: posexplode (map-side), a `dim`-key aggregation (key
+    * count = dimensionality, tiny), the bounds broadcast back, and one
+    * partial-aggregated rollup per vec_id. No HOFs (per-element lambda
+    * re-evaluation), no vocab-sized build sides.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val exploded = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    val bounds = exploded.groupBy("dim")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+    val code = when(col("hi") > col("lo"),
+      floor((col("v") - col("lo")) * (lit(255.0) / (col("hi") - col("lo")))))
+      .otherwise(lit(0.0)).cast("long")
+    exploded.join(broadcast(bounds), Seq("dim"))
+      .select(col("vec_id"), code.as("code"))
+      .groupBy("vec_id")
+      .agg(sum("code").as("code_sum"), min("code").as("code_min"),
+        max("code").as("code_max"))
+  }
+
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. Queries are broadcast (small); corpus stays
     * partitioned. The `rank <= k` filter over row_number triggers Spark's

@@ -160,4 +160,22 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
   }
+
+  test("quantizeInt8: corpus-trained codes, degenerate dims to zero, broadcast bounds") {
+    // dim 0 spans [0, 2] → codes 0 / 127 / 255; dim 1 is constant → code 0
+    val df = Seq(
+      (1L, vec(0.0, 7.0)),
+      (2L, vec(1.0, 7.0)),
+      (3L, vec(2.0, 7.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("code_sum"), r.getAs[Long]("code_min"), r.getAs[Long]("code_max"))).toMap
+    assert(out(1L) === ((0L, 0L, 0L)))
+    assert(out(2L) === ((127L, 0L, 127L))) // floor(1.0 * 127.5)
+    assert(out(3L) === ((255L, 0L, 255L))) // max maps exactly to 255
+    val plan = Similarity.quantizeInt8(df).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
