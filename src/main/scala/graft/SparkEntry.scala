@@ -531,6 +531,11 @@ object SparkEntry {
       // of corpus-rare tokens; tf⋈df join (no vocab broadcast — the long
       // tail IS the vocabulary at web scale); exact ints + one division
       Docs.rareTokenRatio(Tables.documents(s, d))),
+    "doc_chunk" -> ((s, d) =>
+      // RAG chunking: overlapping fixed-token windows, every boundary AND
+      // its contents pinned by the chunk md5; pure projection + map-side
+      // explode, zero shuffles
+      Docs.chunkDocs(Tables.documents(s, d))),
     "doc_assembly" -> ((s, d) =>
       // the capstone: dedup → token gate → split → decontam-drop →
       // domain cap → train packing → per-(split,source) summary, ONE
@@ -1448,6 +1453,21 @@ object SparkEntry {
            |  CAST(count(DISTINCT p.seq_key) AS BIGINT) AS n_seqs
            |FROM capped c LEFT JOIN pk p USING (doc_id)
            |GROUP BY 1, 2""".stripMargin
+      },
+      "doc_chunk" -> {
+        val c = Docs.ChunkSize; val st = Docs.ChunkStride
+        s"""WITH toks AS MATERIALIZED (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+           |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |)
+           |SELECT doc_id, n_tokens,
+           |  CAST(unnest(range(0, (n_tokens - 1) // $st + 1)) AS BIGINT) AS chunk_idx,
+           |  CAST(unnest(list_transform(range(0, (n_tokens - 1) // $st + 1),
+           |    i -> least(n_tokens - i * $st, $c))) AS BIGINT) AS chunk_tokens,
+           |  unnest(list_transform(range(0, (n_tokens - 1) // $st + 1),
+           |    i -> md5(array_to_string(list_slice(t, i * $st + 1, least(i * $st + $c, n_tokens)), ' ')))) AS chunk_md5
+           |FROM toks""".stripMargin
       },
       "doc_rare" ->
         s"""WITH tok AS MATERIALIZED (

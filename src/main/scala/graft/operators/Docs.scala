@@ -742,6 +742,42 @@ object Docs {
         countDistinct(col("seq_key")).as("n_seqs"))
   }
 
+  /** Chunking parameters for [[chunkDocs]] — window size and stride in
+    * tokens (stride < size ⇒ overlapping windows, the RAG default).
+    */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** RAG-style document chunking: fixed `size`-token windows every
+    * `stride` tokens (overlapping when stride < size — the retrieval
+    * default, so no answer span is split across a boundary without also
+    * appearing whole in a neighbor). Distinct from [[packSequences]]:
+    * packing concatenates ACROSS docs for training throughput; chunking
+    * splits WITHIN a doc for retrieval granularity. Each chunk row carries
+    * its token count and the md5 of its exact text (space-rejoined
+    * tokens) — the content fingerprint an index stores — so the oracle
+    * pins every chunk boundary AND its contents, not just counts. Pure
+    * per-row projection + map-side explode: zero shuffles at any scale.
+    */
+  def chunkDocs(docs: DataFrame, size: Int = ChunkSize,
+                stride: Int = ChunkStride): DataFrame = {
+    require(size > 0 && stride > 0, "chunk size and stride must be positive")
+    docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      .withColumn("chunk",
+        explode(transform(
+          sequence(lit(0), floor((col("n_tokens") - 1) / stride).cast("int")),
+          i => struct(
+            i.cast("long").as("chunk_idx"),
+            least(col("n_tokens") - i.cast("long") * stride, lit(size.toLong)).as("chunk_tokens"),
+            md5(concat_ws(" ", slice(col("toks"), i * stride + 1, lit(size))).cast("binary")).as("chunk_md5")))))
+      .select(col("doc_id"), col("n_tokens"),
+        col("chunk.chunk_idx").as("chunk_idx"),
+        col("chunk.chunk_tokens").as("chunk_tokens"),
+        col("chunk.chunk_md5").as("chunk_md5"))
+  }
+
   /** Rarity rule for [[rareTokenRatio]]: a token is rare iff
     * df · RareInvFrac < n_docs (appears in under 1/RareInvFrac of all
     * docs) — integer cross-multiplication, exact in both engines.

@@ -458,6 +458,27 @@ class DocsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 9, plan)
   }
 
+  test("chunkDocs: overlapping windows, boundary counts, content md5, shuffle-free") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = Seq((1L, "a b c d e f g h i"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Docs.chunkDocs(rows, size = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("chunk_tokens"), r.getAs[String]("chunk_md5"))).toMap
+    // doc 1: 9 tokens, starts 0/3/6 → lengths 4/4/3; window 1 overlaps d
+    assert(out.keySet === Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(out((1L, 0L)) === ((4L, md5hex("a b c d"))))
+    assert(out((1L, 1L)) === ((4L, md5hex("d e f g"))))
+    assert(out((1L, 2L)) === ((3L, md5hex("g h i"))))
+    assert(out((2L, 0L)) === ((2L, md5hex("x y"))))
+    // pure projection + map-side explode: no Exchange
+    val plan = Docs.chunkDocs(rows).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("decontamBloom: row-identical to decontam, might_contain prefilter in the plan") {
     val corpus = sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Docs.decontam(corpus).collect()
