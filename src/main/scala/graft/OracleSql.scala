@@ -372,6 +372,45 @@ object OracleSql {
   def normSqSql(a: String): String =
     foldSumSql(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
 
+  /** Twin of the emb_pq_fixed query: per-subvector squared-L2 argmin
+    * against literal integer codebooks (ties → LOWEST centroid index,
+    * matching Spark's array_min over struct(d, c)), the packed Σ cⱼ·kʲ
+    * code, and the Σ least(dⱼ…) reconstruction error in the same
+    * left-to-right order. Every distance is ‖v‖² − 2·v·c + ‖c‖² with the
+    * same fold order as the compiled kernels, so the doubles match
+    * bit-for-bit.
+    */
+  def embPqFixedSql(books: Seq[Seq[Seq[Double]]], k: Int, subDim: Int): String = {
+    val m = books.size
+    def centLit(v: Seq[Double]): String =
+      v.map(x => s"${x.toLong}e0").mkString("[", ", ", "]")
+    val dCols = (for { j <- 0 until m; c <- 0 until k } yield {
+      val sub = s"list_slice(embedding, ${j * subDim + 1}, ${(j + 1) * subDim})"
+      val v = books(j)(c)
+      val ssq = v.map(x => x * x).sum.toLong // exact: small integers
+      s"    (${normSqSql(sub)} - 2e0 * ${dotLitSql(sub, centLit(v))} + ${ssq}e0) AS d_${j}_$c"
+    }).mkString(",\n")
+    def codeCase(j: Int): String = {
+      val whens = (0 until k - 1).map { c =>
+        val rest = (c + 1 until k).map(i => s"d_${j}_$i").mkString(", ")
+        s"WHEN d_${j}_$c <= least($rest) THEN $c"
+      }.mkString(" ")
+      s"CASE $whens ELSE ${k - 1} END"
+    }
+    val codeExpr = (0 until m)
+      .map(j => s"(${codeCase(j)}) * ${math.pow(k, j).toLong}").mkString(" + ")
+    val errExpr = (0 until m)
+      .map(j => s"least(${(0 until k).map(c => s"d_${j}_$c").mkString(", ")})")
+      .mkString(" + ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT vec_id,
+       |$dCols
+       |  FROM embeddings
+       |)
+       |SELECT vec_id, CAST($codeExpr AS BIGINT) AS pq_code, ($errExpr) AS err
+       |FROM d""".stripMargin
+  }
+
   /** Twin of the emb_ivf_fixed query: the full IVF pipeline — argmax cell
     * assignment against a literal integer codebook (ties → higher cell id,
     * matching Spark's array_max over struct(s, c)), per-query top-`nProbe`

@@ -609,6 +609,11 @@ object SparkEntry {
     }),
 
     // ---- similarity search ----------------------------------------------
+    "emb_pq_fixed" -> ((s, d) =>
+      // product-quantization encode mechanics under the exact oracle:
+      // per-subvector integer-codebook argmin (compiled-kernel distance
+      // folds), packed code + reconstruction error; pure projection
+      Similarity.pqEncodeFixed(Tables.embeddings(s, d))),
     "emb_quant" -> ((s, d) =>
       // int8 scalar quantization: per-dim corpus min/max bounds → one
       // identical IEEE expression → integer codes; checksum outputs pin
@@ -1601,6 +1606,8 @@ object SparkEntry {
       "doc_jaccard" -> OracleXxh.docJaccardSql,
       "emb_lsh" -> OracleXxh.embLshSql(dim = 64, bits = 4, tables = 8, k = 5, queryMod = 100),
 
+      "emb_pq_fixed" ->
+        OracleSql.embPqFixedSql(operators.Similarity.pqCodebooks(), k = 4, subDim = 8),
       "emb_quant" ->
         """WITH ex AS MATERIALIZED (
           |  SELECT vec_id,

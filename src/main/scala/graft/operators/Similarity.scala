@@ -60,6 +60,52 @@ object Similarity {
         max("code").as("code_max"))
   }
 
+  /** Deterministic trig-free integer codebooks for [[pqEncodeFixed]]:
+    * m subspaces × k centroids × subDim dims of small ints in [-4, 4]
+    * (integer centroids keep every distance term exact in double, the same
+    * trick as the fixed IVF/LSH twins — CLAUDE.md).
+    */
+  def pqCodebooks(m: Int = 8, k: Int = 4, subDim: Int = 8): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(j => (0 until k).map(c =>
+      (0 until subDim).map(i => (((j * 31 + c * 17 + i * 7) % 9) - 4).toDouble)))
+
+  /** Product quantization (fixed codebooks — the encode/assign MECHANICS
+    * under an exact oracle, like emb_ivf_fixed; production PQ trains the
+    * codebooks with the same k-means machinery as the IVF path): the
+    * embedding splits into m contiguous subvectors, each assigned to its
+    * nearest codebook centroid by squared L2 (expanded as
+    * ‖v‖² − 2·v·c + ‖c‖², each term a compiled-kernel fold or an exact
+    * integer, so the doubles are bit-identical cross-engine; ties → lowest
+    * centroid index, matching array_min over struct(d, c)). Output per
+    * vector: the packed code Σ cⱼ·kʲ (exact integer — 4× compression to
+    * codes plus m·k·subDim floats of codebook ≪ corpus) and the total
+    * reconstruction error Σ dⱼ in fixed left-to-right order (a RAW double:
+    * identical expression both engines). Pure projection over literal
+    * arrays — zero shuffles at any scale.
+    */
+  def pqEncodeFixed(emb: DataFrame, m: Int = 8, k: Int = 4,
+                    subDim: Int = 8): DataFrame = {
+    val books = pqCodebooks(m, k, subDim)
+    val best = (0 until m).map { j =>
+      val sub = slice(col("embedding"), j * subDim + 1, subDim)
+      val scored = (0 until k).map { c =>
+        val v = books(j)(c)
+        val ssq = v.map(x => x * x).sum // exact: small integers
+        struct(
+          (graft.functions.Vec.sumSq(sub)
+            - lit(2.0) * graft.functions.Vec.dot(sub, array(v.map(lit): _*))
+            + lit(ssq)).as("d"),
+          lit(c.toLong).as("c"))
+      }
+      array_min(array(scored: _*))
+    }
+    val code = best.zipWithIndex
+      .map { case (s, j) => s.getField("c") * math.pow(k, j).toLong }
+      .reduce(_ + _)
+    val err = best.map(_.getField("d")).reduce(_ + _)
+    emb.select(col("vec_id"), code.as("pq_code"), err.as("err"))
+  }
+
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. Queries are broadcast (small); corpus stays
     * partitioned. The `rank <= k` filter over row_number triggers Spark's

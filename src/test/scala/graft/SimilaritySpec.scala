@@ -161,6 +161,22 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("pqEncodeFixed: nearest-centroid codes, exact packing, zero shuffles") {
+    // one vector equal to a known centroid in every subspace → code is the
+    // packed centroid indices and err is exactly 0
+    val books = Similarity.pqCodebooks()
+    val target = (0 until 8).flatMap(j => books(j)(j % 4)).map(_.toFloat)
+    val expectedCode = (0 until 8).map(j => (j % 4).toLong * math.pow(4, j).toLong).sum
+    val df = Seq((1L, target), (2L, Seq.fill(64)(100.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqEncodeFixed(df).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("pq_code"), r.getAs[Double]("err"))).toMap
+    assert(out(1L)._1 === expectedCode)
+    assert(out(1L)._2 === 0.0)
+    assert(out(2L)._2 > 0.0)
+    val plan = Similarity.pqEncodeFixed(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("quantizeInt8: corpus-trained codes, degenerate dims to zero, broadcast bounds") {
     // dim 0 spans [0, 2] → codes 0 / 127 / 255; dim 1 is constant → code 0
     val df = Seq(
