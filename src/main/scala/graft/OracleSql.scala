@@ -411,6 +411,41 @@ object OracleSql {
        |FROM d""".stripMargin
   }
 
+  /** Twin of the emb_pq_adc query: ADC search over the emb_pq_fixed codes
+    * — the codes CTE is the encode twin verbatim, the query side picks the
+    * per-subspace distance by the same (code >> 2j) & 3 digit, and rank
+    * mirrors row_number over (adc ASC, vec_id).
+    */
+  def embPqAdcSql(books: Seq[Seq[Seq[Double]]], k: Int, subDim: Int,
+                  queryMod: Int): String = {
+    val m = books.size
+    def centLit(v: Seq[Double]): String =
+      v.map(x => s"${x.toLong}e0").mkString("[", ", ", "]")
+    val adcExpr = (0 until m).map { j =>
+      val sub = s"list_slice(q.q_emb, ${j * subDim + 1}, ${(j + 1) * subDim})"
+      val cases = (0 until 4).map { c =>
+        val v = books(j)(c)
+        val ssq = v.map(x => x * x).sum.toLong
+        s"WHEN ((c.pq_code >> ${2 * j}) & 3) = $c THEN " +
+          s"(${normSqSql(sub)} - 2e0 * ${dotLitSql(sub, centLit(v))} + ${ssq}e0)"
+      }.mkString(" ")
+      s"(CASE $cases END)"
+    }.mkString(" + ")
+    s"""WITH codes AS MATERIALIZED (
+       |${embPqFixedSql(books, 4, subDim).linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % $queryMod = 0),
+       |pairs AS (
+       |  SELECT q.query_id, c.vec_id, ($adcExpr) AS adc
+       |  FROM q, codes c WHERE c.vec_id <> q.query_id
+       |)
+       |SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+       |  FROM pairs) t WHERE rank <= $k""".stripMargin
+  }
+
   /** Twin of the emb_ivf_fixed query: the full IVF pipeline — argmax cell
     * assignment against a literal integer codebook (ties → higher cell id,
     * matching Spark's array_max over struct(s, c)), per-query top-`nProbe`

@@ -609,6 +609,12 @@ object SparkEntry {
     }),
 
     // ---- similarity search ----------------------------------------------
+    "emb_pq_adc" -> ((s, d) => {
+      // ADC search over the PQ codes: full-precision query vs 2-bit-digit
+      // code lookups — corpus side carries only (vec_id, code); exact twin
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopKFixed(e, e.where(col("vec_id") % 100 === 0), k = 5)
+    }),
     "emb_pq_fixed" -> ((s, d) =>
       // product-quantization encode mechanics under the exact oracle:
       // per-subvector integer-codebook argmin (compiled-kernel distance
@@ -1608,6 +1614,9 @@ object SparkEntry {
 
       "emb_pq_fixed" ->
         OracleSql.embPqFixedSql(operators.Similarity.pqCodebooks(), k = 4, subDim = 8),
+      "emb_pq_adc" ->
+        OracleSql.embPqAdcSql(operators.Similarity.pqCodebooks(), k = 5,
+          subDim = 8, queryMod = 100),
       "emb_quant" ->
         """WITH ex AS MATERIALIZED (
           |  SELECT vec_id,

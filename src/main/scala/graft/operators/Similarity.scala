@@ -106,6 +106,49 @@ object Similarity {
     emb.select(col("vec_id"), code.as("pq_code"), err.as("err"))
   }
 
+  /** Asymmetric-distance (ADC) top-k over [[pqEncodeFixed]] codes — the
+    * search side of product quantization: the query stays full-precision,
+    * the corpus is only its packed codes, and the distance is the sum over
+    * subspaces of ‖q_sub − centroid(code digit)‖², picked from the
+    * per-subspace distance table by bit-shifting the packed code (nCent=4
+    * ⇒ digit j = (code >> 2j) & 3, exact integer ops both engines).
+    * Every term is the same compiled-kernel fold as the encoder, so the
+    * ADC doubles are bit-identical cross-engine and the rank ordering
+    * (adc ASC, vec_id) is deterministic. The corpus side carries ONLY
+    * (vec_id, code) — 4 bytes a vector instead of 256 — which is the
+    * point of PQ at 100 TB; production would IVF-prefilter the candidate
+    * set instead of scanning all codes, with this same ADC rerank.
+    */
+  def pqTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
+                  m: Int = 8, nCent: Int = 4, subDim: Int = 8): DataFrame = {
+    require(nCent == 4, "digit extraction is specialized to 2-bit codes")
+    val books = pqCodebooks(m, nCent, subDim)
+    val codes = pqEncodeFixed(corpus, m, nCent, subDim)
+      .select(col("vec_id"), col("pq_code"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val adc = (0 until m).map { j =>
+      val sub = slice(col("q_emb"), j * subDim + 1, subDim)
+      val digit = shiftright(col("pq_code"), 2 * j).bitwiseAND(lit(3L))
+      coalesce((0 until nCent).map { c =>
+        val v = books(j)(c)
+        val ssq = v.map(x => x * x).sum
+        when(digit === c,
+          graft.functions.Vec.sumSq(sub)
+            - lit(2.0) * graft.functions.Vec.dot(sub, array(v.map(lit): _*))
+            + lit(ssq))
+      }: _*)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    q.crossJoin(codes)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+  }
+
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. Queries are broadcast (small); corpus stays
     * partitioned. The `rank <= k` filter over row_number triggers Spark's

@@ -177,6 +177,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("pqTopKFixed: ADC ranks centroid-exact vectors first, bounded top-k plan") {
+    // corpus vec 10 IS a codebook word in every subspace → ADC distance 0
+    // from a query equal to the same word; a far vector ranks behind it
+    val books = Similarity.pqCodebooks()
+    val word = (0 until 8).flatMap(j => books(j)(1)).map(_.toFloat)
+    val corpus = Seq(
+      (10L, word),
+      (11L, word.map(_ + 50.0f)),
+      (12L, word.map(_ + 100.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, word)).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopKFixed(corpus, q, k = 2).collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("vec_id")).toMap
+    assert(out(1L) === 10L, "the centroid-exact vector must rank first")
+    assert(out(2L) === 11L)
+    // group-wise top-k shuffle stays bounded (partial WindowGroupLimit)
+    val plan = Similarity.pqTopKFixed(corpus, q, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("quantizeInt8: corpus-trained codes, degenerate dims to zero, broadcast bounds") {
     // dim 0 spans [0, 2] → codes 0 / 127 / 255; dim 1 is constant → code 0
     val df = Seq(
