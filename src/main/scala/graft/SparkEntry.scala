@@ -275,8 +275,14 @@ object SparkEntry {
       // interval containing it — bucketized interval join (equi join on
       // (user, hour-chunk) + exact refine), never an inequality theta join
       val pts = Tables.gps(s, d).select("user_id", "event_id", "ts")
+      // intervalJoin consumes its right side TWICE (chunked + oversized
+      // branches) — un-materialized, the whole velocity→label→sessionize
+      // window chain ran twice in one plan (r6 before-plan: two identical
+      // 4-window subtrees). Materialize the tiny visit table once
+      // (CLAUDE.md multi-consumer rule; same pattern as doc_jaccard).
       val visits = Sessions.visits(Pipelines.labeledPoints(s, d))
         .select(col("user_id"), col("cid"), col("pos"), col("time_in"), col("time_out"))
+        .localCheckpoint()
       operators.Temporal.intervalJoin(pts, visits, Seq("user_id"), "ts",
           "time_in", "time_out", chunkSeconds = 3600L)
         .select("user_id", "event_id", "cid", "pos", "time_in")

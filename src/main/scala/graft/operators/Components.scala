@@ -35,8 +35,17 @@ object Components {
       .map(_.toLong).getOrElse(5_000_000L)
     val maxNodes = spark.conf.getOption("graft.cc.unionFindMaxNodes")
       .map(_.toLong).getOrElse(2L * maxEdges)
-    val nEdges = edges.count()
-    if (nEdges <= maxEdges && nodes.count() <= maxNodes) {
+    // ONE probe job for both branch-decision counts (two separate count()
+    // actions doubled the driver-seam job count on every CC call — r5
+    // verdict finding #3); both inputs are checkpointed/persisted by every
+    // caller, so the union scan is cheap.
+    val probe = edges.select(lit(1).as("__side"))
+      .unionAll(nodes.select(lit(2).as("__side")))
+      .groupBy("__side").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nEdges = probe.getOrElse(1, 0L)
+    val nNodes = probe.getOrElse(2, 0L)
+    if (nEdges <= maxEdges && nNodes <= maxNodes) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -45,12 +54,19 @@ object Components {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.select("a_uid", "b_uid").collect().foreach { row =>
+      // edges and nodes ride ONE collect job (node rows tagged by a null
+      // b_uid — the contract forbids null edge endpoints); union-find must
+      // see every edge before roots resolve, so partition the rows first
+      val rows = edges.select(col("a_uid"), col("b_uid"))
+        .unionAll(nodes.select(col("uid").as("a_uid"), lit(null).cast("long").as("b_uid")))
+        .collect()
+      val (edgeRows, nodeRows) = rows.partition(!_.isNullAt(1))
+      edgeRows.foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       import spark.implicits._
-      val roots = nodes.select("uid").as[Long].collect().map(u => (u, find(u)))
+      val roots = nodeRows.map(r => { val u = r.getLong(0); (u, find(u)) })
       roots.toSeq.toDF("uid", "comp")
     } else minLabel(nodes, edges, maxIters)
   }

@@ -49,35 +49,54 @@ object Motion {
   /** Full per-point velocity pipeline. Input: (user_id, event_id, ts, lat, lon).
     * Output adds displacement (m, 1dp), time_delta (s, mod-86400), velocity
     * (m/s, 3dp), binning.
+    *
+    * Staged evaluation (optimization guide §1.2 step 2, r6): the previous
+    * formulation inlined `lag(...)` and the haversine/Δt subtrees into every
+    * reference inside the CASE chains — ExtractWindowExpressions does NOT
+    * dedup equal lag occurrences, so the physical Window carried 187 offset
+    * frames (plans/r06/gps_velocity_before.txt) and the output Project
+    * re-evaluated the trig-heavy haversine ~30× per row. Here the three lags
+    * ride ONE struct frame and meters/secs/vel/bin are materialized once as
+    * their own projections (multi-referenced non-cheap aliases survive
+    * CollapseProject — the Poi.parseGmap lesson, CLAUDE.md). Every staged
+    * expression tree is the SAME tree as before, evaluated once — identical
+    * IEEE doubles, identical output columns.
     */
   def processVelocities(gpsDf: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pLat = lag("lat", 1).over(w)
-    val pLon = lag("lon", 1).over(w)
-    val pTs  = lag("ts", 1).over(w)
+    val staged = gpsDf
+      .withColumn("__prev", lag(struct(col("ts"), col("lat"), col("lon")), 1).over(w))
+    val pTs  = col("__prev").getField("ts")
+    val pLat = col("__prev").getField("lat")
+    val pLon = col("__prev").getField("lon")
 
-    val meters = Geo.haversineMeters(pLat, pLon, col("lat"), col("lon"))
     // Python timedelta.seconds semantics: floor of the |Δt| TOTAL seconds,
     // mod 86400 (gps.py:886-889). Computed on microseconds — flooring each
     // endpoint first (unix_timestamp) would overstate sub-second gaps.
-    val secs = pmod(
-      floor(abs(unix_micros(col("ts")) - unix_micros(pTs)) / 1e6).cast("long"),
-      lit(86400L))
-    val vel  = when(secs =!= 0L, meters / secs.cast("double"))
+    val staged2 = staged
+      .withColumn("__meters", Geo.haversineMeters(pLat, pLon, col("lat"), col("lon")))
+      .withColumn("__secs", pmod(
+        floor(abs(unix_micros(col("ts")) - unix_micros(pTs)) / 1e6).cast("long"),
+        lit(86400L)))
+    val staged3 = staged2
+      .withColumn("__vel",
+        when(col("__secs") =!= 0L, col("__meters") / col("__secs").cast("double")))
+      .withColumn("__bin", binning(col("__meters"), col("__vel")))
 
-    val rawBin = binning(meters, vel)
     // guards gps.py:820-829: Δt>18h → nulled row; active & Δt>12h → nulled row
     val guarded = when(pTs.isNull, "null")
-      .when(secs > 18L * 3600L, "null")
-      .when(rawBin === "active" && secs > 12L * 3600L, "null")
-      .otherwise(rawBin)
+      .when(col("__secs") > 18L * 3600L, "null")
+      .when(col("__bin") === "active" && col("__secs") > 12L * 3600L, "null")
+      .otherwise(col("__bin"))
+    val staged4 = staged3.withColumn("__g", guarded)
 
-    val keepMetrics = guarded =!= "null" && guarded =!= "anomaly"
-    gpsDf
-      .withColumn("displacement", when(keepMetrics, bround(meters, 1)))
-      .withColumn("time_delta",   when(keepMetrics, secs))
-      .withColumn("velocity",     when(keepMetrics, bround(vel, 3)))
-      .withColumn("binning",      guarded)
+    val keepMetrics = col("__g") =!= "null" && col("__g") =!= "anomaly"
+    staged4
+      .withColumn("displacement", when(keepMetrics, bround(col("__meters"), 1)))
+      .withColumn("time_delta",   when(keepMetrics, col("__secs")))
+      .withColumn("velocity",     when(keepMetrics, bround(col("__vel"), 3)))
+      .withColumn("binning",      col("__g"))
+      .drop("__prev", "__meters", "__secs", "__vel", "__bin", "__g")
   }
 
   /** Minute resample: mean lat/lon per (user, minute); ts = the minute key.
@@ -116,31 +135,39 @@ object Motion {
                        maxMeters: Double = 75.0,
                        maxGapSec: Long = 12L * 3600L): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pLat = lag("lat", 1).over(w)
-    val pLon = lag("lon", 1).over(w)
-    val pTs  = lag("ts", 1).over(w)
+    // three primitive offset frames + staged meters/Δt (same dedup rationale
+    // as [[processVelocities]]: un-staged, each reference re-expanded its
+    // lag into a separate window frame — 25 frames in the r5 plan — and
+    // re-ran the haversine per reference). Primitive lags, NOT one struct
+    // lag: measured on sf0.1, the struct column riding the shuffle + window
+    // buffer cost ~0.5 s while three primitive frames are near-free here
+    // (the imputed output is ~19× the input, so the window is a small
+    // fraction of this operator — unlike processVelocities).
+    val staged = gpsDf
+      .withColumn("prev_ts",  lag("ts", 1).over(w))
+      .withColumn("prev_lat", lag("lat", 1).over(w))
+      .withColumn("prev_lon", lag("lon", 1).over(w))
 
-    val meters = Geo.haversineMeters(pLat, pLon, col("lat"), col("lon"))
-    val gapSec = unix_timestamp(col("ts")) - unix_timestamp(pTs)
     // eligibility mirrors impute_between (gps.py:1625-1630): the pair's
     // discrete bin must be 'stationary', rounded displacement ≤ maxMeters,
     // and the mod-86400 Δt (timedelta.seconds quirk) ≤ maxGapSec; the fill
     // range itself spans the REAL gap (pandas date_range semantics)
-    val secsMod = pmod(abs(unix_timestamp(col("ts")) - unix_timestamp(pTs)), lit(86400L))
-    val vel     = when(secsMod =!= 0L, meters / secsMod.cast("double"))
-    val eligible = pTs.isNotNull &&
-      binning(meters, vel) === "stationary" &&
-      bround(meters, 1) <= maxMeters &&
-      secsMod <= maxGapSec &&
+    val staged2 = staged
+      .withColumn("__meters",
+        Geo.haversineMeters(col("prev_lat"), col("prev_lon"), col("lat"), col("lon")))
+      .withColumn("__secs_mod",
+        pmod(abs(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))), lit(86400L)))
+    val vel = when(col("__secs_mod") =!= 0L, col("__meters") / col("__secs_mod").cast("double"))
+    val gapSec = unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+    val eligible = col("prev_ts").isNotNull &&
+      binning(col("__meters"), vel) === "stationary" &&
+      bround(col("__meters"), 1) <= maxMeters &&
+      col("__secs_mod") <= maxGapSec &&
       gapSec > stepSec
 
-    val withGaps = gpsDf
-      .withColumn("prev_lat", pLat).withColumn("prev_lon", pLon).withColumn("prev_ts", pTs)
-      .withColumn("gap_ok", eligible)
-
     // endpoint-exclusive timestamps: prev_ts + step, ..., < ts
-    val filled = withGaps
-      .where(col("gap_ok"))
+    val filled = staged2
+      .where(eligible)
       .select(
         col("user_id"), col("event_id"),
         col("prev_ts"), col("prev_lat"), col("prev_lon"), col("lat"), col("lon"), col("ts"),

@@ -103,7 +103,16 @@ object Multimodal {
     * the same column.
     */
   def mediaFromPages(pages: DataFrame): DataFrame = {
-    import graft.functions.{PngImageExpr, WavAudioExpr}
+    import graft.functions.{Par, PngImageExpr, WavAudioExpr}
+    // every output column derives from `url` alone, and the synthesis +
+    // downstream decode are the CPU-heaviest per-row kernels in the engine
+    // (zlib both ways). Project to the one needed column and spread it
+    // scale-adaptively BEFORE the kernels: a single-split input otherwise
+    // runs the whole zlib pipeline on one task (AQE coalesces by bytes,
+    // blind to per-row CPU — r6 baseline: 6.4 s on 1 of 32 cores). The
+    // shuffle moves only urls — guide §8's "decide with small rows" shape.
+    val base = pages.select(col("url"))
+    val spread = base.repartition(Par.adaptiveN(base), col("url"))
     val seed = xxhash64(col("url"))
     val w  = (abs(seed) % 64 + 8).cast("int")
     val h  = (abs(xxhash64(col("url"), lit(1))) % 64 + 8).cast("int")
@@ -112,7 +121,7 @@ object Multimodal {
     val ch = (abs(xxhash64(col("url"), lit(4))) % 2 + 1).cast("int")
     val nf = (abs(xxhash64(col("url"), lit(5))) % 4000 + 64).cast("int")
     val isImg = abs(xxhash64(col("url"), lit(2))) % 2 === 0
-    pages.select(
+    spread.select(
       col("url"),
       when(isImg, "image/png").otherwise("audio/wav").as("media_type"),
       when(isImg, PngImageExpr(w, h, seed))

@@ -29,13 +29,16 @@ object Sessions {
   def visits(points: DataFrame): DataFrame = {
     val stationary = points.where(col("binning") === "stationary")
 
-    // W2: pos — count of cid changes so far within (user, date), ts order
+    // W2: pos — count of cid changes so far within (user, date), ts order.
+    // The lag is staged once (r6): inlining it put TWO offset frames in the
+    // Window; a staged column costs one.
     val wDay = Window.partitionBy("user_id", "date").orderBy("ts", "event_id")
-    val changed = when(
-      lag("cid", 1).over(wDay).isNull || lag("cid", 1).over(wDay) =!= col("cid"), 1)
+    val withPrev = stationary.withColumn("__pcid", lag("cid", 1).over(wDay))
+    val changed = when(col("__pcid").isNull || col("__pcid") =!= col("cid"), 1)
       .otherwise(0)
-    val withPos = stationary.withColumn(
+    val withPos = withPrev.withColumn(
       "pos", sum(changed).over(wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__pcid")
 
     // W3: collapse each (user, date, pos, cid) run into one visit
     val collapsed = withPos
