@@ -36,4 +36,18 @@ object Pipelines {
           .when(Geo.haversineMeters(workLat, workLon, col("lat"), col("lon")) <= 500.0, "work")
           .otherwise(concat(lit("x"), cell16.cast("string"))))
   }
+
+  /** [[labeledPoints]] materialized (localCheckpoint) — for consumers that
+    * immediately FILTER on the window-derived binning/cid/time_delta
+    * columns (sessionization, entropy). Catalyst pushes such predicates
+    * through the staging projections, re-substituting the full haversine/
+    * fence CASE trees into the filter (pushdown substitutes aliases
+    * regardless of cost — CLAUDE.md); filtering the materialized frame
+    * evaluates plain column references instead. Measured at sf0.1 r6,
+    * interleaved: visits 2.36 s → 0.93 s, entropy 1.30 s → 0.71 s. The
+    * checkpoint is per-invocation (inside the timed query, recomputed from
+    * parquet every run) — lineage truncation, not cross-run caching.
+    */
+  def labeledPointsM(spark: SparkSession, sfDir: String): DataFrame =
+    labeledPoints(spark, sfDir).localCheckpoint()
 }

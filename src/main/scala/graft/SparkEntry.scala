@@ -119,12 +119,12 @@ object SparkEntry {
 
     // ---- sessionization (W2-W4, gscap/gps.py:1279-1363) -----------------
     "gps_sessions" -> ((s, d) =>
-      Sessions.visits(Pipelines.labeledPoints(s, d))
+      Sessions.visits(Pipelines.labeledPointsM(s, d))
         .withColumn("date", col("date").cast("timestamp"))
         .select("user_id", "date", "pos", "cid", "time_in", "time_out",
           "n_points", "duration", "midpoint", "lat", "lon")),
     "gps_visit_stats" -> ((s, d) => {
-      val v = Sessions.visits(Pipelines.labeledPoints(s, d))
+      val v = Sessions.visits(Pipelines.labeledPointsM(s, d))
       v.where(col("cid") =!= "xNot")
         .groupBy("user_id", "cid")
         .agg(
@@ -143,7 +143,7 @@ object SparkEntry {
       DailyFeatures.daily(Pipelines.labeledPoints(s, d), refRounding = false)
         .withColumn("date", col("date").cast("timestamp"))),
     "gps_entropy" -> ((s, d) =>
-      DailyFeatures.locationEntropy(Pipelines.labeledPoints(s, d))
+      DailyFeatures.locationEntropy(Pipelines.labeledPointsM(s, d))
         .withColumn("entropy", col("entropy") + 0.0)
         .withColumn("normalized_entropy", col("normalized_entropy") + 0.0)
         .withColumn("date", col("date").cast("timestamp"))),
@@ -280,7 +280,7 @@ object SparkEntry {
       // window chain ran twice in one plan (r6 before-plan: two identical
       // 4-window subtrees). Materialize the tiny visit table once
       // (CLAUDE.md multi-consumer rule; same pattern as doc_jaccard).
-      val visits = Sessions.visits(Pipelines.labeledPoints(s, d))
+      val visits = Sessions.visits(Pipelines.labeledPointsM(s, d))
         .select(col("user_id"), col("cid"), col("pos"), col("time_in"), col("time_out"))
         .localCheckpoint()
       operators.Temporal.intervalJoin(pts, visits, Seq("user_id"), "ts",
@@ -342,7 +342,11 @@ object SparkEntry {
           sha2(col("text"), 256).as("text_sha"),
           length(col("text")).cast("long").as("n_chars"))),
     "pages_geocode" -> ((s, d) =>
-      ingest.Pages.geocode(ingest.Pages.pagesFromGps(Tables.gps(s, d)))
+      // spread before synthesis+regex: the geocode rlike/extract pass is
+      // CPU-bound per row and ran on the scan's single split (r6; no-op at
+      // scale — Par.spreadForCpu)
+      ingest.Pages.geocode(ingest.Pages.pagesFromGps(
+        graft.functions.Par.spreadForCpu(Tables.gps(s, d), Seq(col("event_id")))))
         .groupBy(Grid.cell(col("lat"), col("lon"), 10).as("cell"))
         .agg(count(lit(1)).as("n_pages"), countDistinct("url").as("n_urls"))),
     "media_features" -> ((s, d) =>

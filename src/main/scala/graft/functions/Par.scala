@@ -1,30 +1,36 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Scale-adaptive partition sizing (optimization guide §2.2/§6): partition
-  * counts derived from the plan's size estimate with a cluster-width floor —
+  * counts derived from the plan's size estimate and the cluster width —
   * never a constant tuned for one deployment.
   *
-  * Rationale: AQE coalesces small shuffles by BYTES, which is right for
-  * I/O-bound stages but starves CPU-bound per-row kernels — a single-split
-  * toy parquet feeding zlib/DBSCAN work coalesces to ONE task and runs one
-  * core while the rest idle (measured: media_features 6.4 s on 1 of 32
-  * cores, r6 baseline). The floor gives every core work on small inputs;
-  * the bytes term keeps partitions near `targetBytes` on big ones, so the
-  * same call sites stay sane at 100 TB.
+  * Rationale: Spark sizes read/shuffle parallelism by BYTES (input splits,
+  * AQE coalescing), which is right for I/O-bound stages but starves
+  * CPU-bound per-row kernels — a single-split toy parquet feeding zlib or
+  * md5-shingle work runs ONE task while the rest of the cores idle
+  * (measured: media_features 6.4 s on 1 of 32 cores, r6 baseline).
   */
 object Par {
 
-  /** Partition count for a CPU-heavy stage over `df`:
-    * max(defaultParallelism, plan-size / targetBytes), clamped to 2^20.
+  /** Spread `df` across the cluster BEFORE a CPU-heavy per-row stage —
+    * but only when the input is byte-small enough that the scan/shuffle
+    * would otherwise under-parallelize (plan size below cores ×
+    * maxPartitionBytes). At scale this is the identity: big inputs already
+    * carry enough splits, and adding a shuffle would be pure waste. `keys`
+    * gives the deterministic hash-distribution key (any roughly-unique
+    * column); required so the row→partition assignment is reproducible
+    * under task retry (guide §2.5 — never round-robin on nondeterministic
+    * input). No-op for streaming frames (no plan statistics).
     */
-  def adaptiveN(df: DataFrame, targetBytes: Long = 256L << 20): Int = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
+  def spreadForCpu(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxPart = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val byBytes =
-      if (bytes <= 0 || !bytes.isValidLong) cores
-      else math.min((bytes.toLong / targetBytes) + 1L, 1L << 20).toInt
-    math.max(cores, byBytes)
+    if (bytes >= BigInt(cores) * BigInt(maxPart)) df
+    else df.repartition(cores, keys: _*)
   }
 }

@@ -108,11 +108,11 @@ object Multimodal {
     // downstream decode are the CPU-heaviest per-row kernels in the engine
     // (zlib both ways). Project to the one needed column and spread it
     // scale-adaptively BEFORE the kernels: a single-split input otherwise
-    // runs the whole zlib pipeline on one task (AQE coalesces by bytes,
-    // blind to per-row CPU — r6 baseline: 6.4 s on 1 of 32 cores). The
-    // shuffle moves only urls — guide §8's "decide with small rows" shape.
-    val base = pages.select(col("url"))
-    val spread = base.repartition(Par.adaptiveN(base), col("url"))
+    // runs the whole zlib pipeline on one task (Spark parallelizes by
+    // bytes, blind to per-row CPU — r6 baseline: 6.4 s on 1 of 32 cores).
+    // The shuffle moves only urls (guide §8's "decide with small rows"),
+    // and at scale spreadForCpu is the identity — no extra shuffle.
+    val spread = Par.spreadForCpu(pages.select(col("url")), Seq(col("url")))
     val seed = xxhash64(col("url"))
     val w  = (abs(seed) % 64 + 8).cast("int")
     val h  = (abs(xxhash64(col("url"), lit(1))) % 64 + 8).cast("int")

@@ -125,19 +125,29 @@ object Similarity {
     val books = pqCodebooks(m, nCent, subDim)
     val codes = pqEncodeFixed(corpus, m, nCent, subDim)
       .select(col("vec_id"), col("pq_code"))
+    // classic ADC table, staged PER QUERY before the join (r6): the m×nCent
+    // subspace-to-centroid distances depend only on the query vector, so
+    // they are computed once per query row into a flat array; each joined
+    // (query, code) row then pays m array lookups + adds instead of m
+    // (sumSq + dot) kernel folds. Every table entry is the IDENTICAL
+    // expression tree the inline form evaluated (same fold order), and the
+    // per-subspace sum keeps the same j = 0..m−1 order — bit-identical adc
+    // doubles, identical ranks.
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-    val adc = (0 until m).map { j =>
-      val sub = slice(col("q_emb"), j * subDim + 1, subDim)
-      val digit = shiftright(col("pq_code"), 2 * j).bitwiseAND(lit(3L))
-      coalesce((0 until nCent).map { c =>
-        val v = books(j)(c)
-        val ssq = v.map(x => x * x).sum
-        when(digit === c,
+      .withColumn("__adc_tab", array((0 until m).flatMap { j =>
+        val sub = slice(col("q_emb"), j * subDim + 1, subDim)
+        (0 until nCent).map { c =>
+          val v = books(j)(c)
+          val ssq = v.map(x => x * x).sum
           graft.functions.Vec.sumSq(sub)
-            - lit(2.0) * graft.functions.Vec.dot(sub, array(v.map(lit): _*))
-            + lit(ssq))
-      }: _*)
+            .-(lit(2.0) * graft.functions.Vec.dot(sub, array(v.map(lit): _*)))
+            .+(lit(ssq))
+        }
+      }: _*))
+    val adc = (0 until m).map { j =>
+      val digit = shiftright(col("pq_code"), 2 * j).bitwiseAND(lit(3L))
+      element_at(col("__adc_tab"), (digit + lit(j * nCent + 1)).cast("int"))
     }.reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("vec_id").asc)
@@ -420,10 +430,18 @@ object Similarity {
     val sigQ = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("tb", explode(bucketsOf(col("q_emb"))))
+    // cosine BEFORE the multi-table dedup (r6): deduping rows that still
+    // carry the two embedding arrays forces first(array) buffers, which are
+    // not hash-aggregable — the plan paid TWO SortAggregates (full sorts of
+    // the array-carrying candidate rows). Scoring first costs one cheap
+    // compiled cosine per collision (a pair's duplicates all score the
+    // SAME double — identical vectors), and the dedup then aggregates a
+    // primitive double: pure HashAggregate, no sort. Rank order unchanged.
     sigC.join(broadcast(sigQ), Seq("tb"))
       .where(col("vec_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "vec_id") // a pair may collide in several tables
       .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
+      .select("query_id", "vec_id", "cosine")
+      .dropDuplicates("query_id", "vec_id") // a pair may collide in several tables
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
       .where(col("rank") <= k)

@@ -121,8 +121,13 @@ object Spatial {
   def nearestNeighbor(points: DataFrame, dim: DataFrame, dimKey: String,
                       pointKeys: Seq[String]): DataFrame = {
     val d2 = Geo.euclidDeg2(col("lat"), col("lon"), col("d_lat"), col("d_lon"))
+    // spread small inputs before the |dim|-way score fan-out: the partial
+    // HashAggregate below runs on the INPUT partitioning, so a single-split
+    // point table pushed |points|·|dim| scored rows through one task
+    // (r6; no-op at scale — Par.spreadForCpu)
+    val spread = graft.functions.Par.spreadForCpu(points, pointKeys.map(col))
     val ptCols = points.columns.toSeq
-    val minD2 = points
+    val minD2 = spread
       .join(broadcast(dim), lit(true), "inner")
       .groupBy(ptCols.map(col): _*)
       .agg(min(d2).as("d2"))
@@ -170,6 +175,11 @@ object Spatial {
       .withColumn("probe_cell", col("cell"))
       .join(broadcast(dimCells), Seq("probe_cell"))
       .withColumn("d2", d2)
+    // `hit` feeds both the union output and the anti-join (fallback set):
+    // the ring-join chain appears twice in the plan, but the anti-join copy
+    // prunes to the point key and an r6 interleaved A/B measured a
+    // localCheckpoint here as a wash at best (the checkpoint write of the
+    // wide hit frame costs what the pruned recompute costs) — left lazy.
     val hit = argminJoin(cand, Seq(pointKey), dimKey, exclude = Seq("probe_cell"))
       .where(sqrt(col("d2")) <= bound) // coverage guarantee
     val remaining = points.join(hit.select(pointKey), Seq(pointKey), "left_anti")
