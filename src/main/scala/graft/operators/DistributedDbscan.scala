@@ -136,11 +136,27 @@ object DistributedDbscan {
     val spark = points.sparkSession
     val comp = Components.assign(core.select("uid"), coreEdges)
 
-    // 4. border coords: smallest component among core neighbors
-    val borderComp = pairs
-      .join(core.withColumnRenamed("uid", "a_uid"), Seq("a_uid"), "left_anti")
-      .join(comp.withColumnRenamed("uid", "b_uid"), Seq("b_uid"))
-      .groupBy(col("a_uid").as("uid"))
+    // 4. border coords: smallest component among core neighbors.
+    // NOT derived from `pairs` (r6): that re-ran the full cell-equi pair
+    // pass a third time only to anti-join it down to the (small) border
+    // set. Instead the border coords probe their own full 3×3 ring against
+    // the comp-labeled core coords — the same neighbor set by the ring
+    // coverage guarantee (cell side = eps), with shuffle volume bounded by
+    // |borders|·9 instead of |all pairs|.
+    val fullOffsets = for (dy <- -1 to 1; dx <- -1 to 1) yield (dy, dx)
+    val borders = uniq.join(core, Seq("uid"), "left_anti")
+      .select(col("uid").as("b_uid"), col("lat").as("b_lat"), col("lon").as("b_lon"),
+        explode(array(fullOffsets.map { case (dy, dx) =>
+          struct((col("cy") + dy).as("cy"), (col("cx") + dx).as("cx")) }: _*)).as("cell"))
+      .select(col("b_uid"), col("b_lat"), col("b_lon"),
+        col("cell.cy").as("cy"), col("cell.cx").as("cx"))
+    val coreCoords = uniq.join(comp, Seq("uid"))
+      .select(col("cy"), col("cx"), col("lat"), col("lon"), col("comp"))
+    val bdlat = col("b_lat") - col("lat")
+    val bdlon = col("b_lon") - col("lon")
+    val borderComp = borders.join(coreCoords, Seq("cy", "cx"))
+      .where(bdlat * bdlat + bdlon * bdlon <= eps2)
+      .groupBy(col("b_uid").as("uid"))
       .agg(min("comp").as("comp"))
 
     val assigned = comp.unionByName(borderComp)

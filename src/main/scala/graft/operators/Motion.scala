@@ -165,16 +165,22 @@ object Motion {
       col("__secs_mod") <= maxGapSec &&
       gapSec > stepSec
 
-    // endpoint-exclusive timestamps: prev_ts + step, ..., < ts
+    // endpoint-exclusive timestamps: prev_ts + step, ..., < ts. The
+    // eligibility guard lives INSIDE the generator (when → null → no rows),
+    // not in a Filter: a Filter above the staging projections gets pushed
+    // through them, re-substituting the haversine/binning trees into the
+    // predicate (pushdown ignores cost — CLAUDE.md); the generator
+    // evaluates the staged columns exactly once per row. Ineligible and
+    // first-of-partition rows yield null → zero generated rows, identical
+    // to the filtered form (eligible ⇒ gap > stepSec ⇒ non-empty range).
     val filled = staged2
-      .where(eligible)
       .select(
         col("user_id"), col("event_id"),
         col("prev_ts"), col("prev_lat"), col("prev_lon"), col("lat"), col("lon"), col("ts"),
-        posexplode(sequence(
+        posexplode(when(eligible, sequence(
           unix_timestamp(col("prev_ts")) + stepSec,
           unix_timestamp(col("ts")) - 1L,
-          lit(stepSec))).as(Seq("pos", "fill_sec"))
+          lit(stepSec)))).as(Seq("pos", "fill_sec"))
       )
       .withColumn("n_fill",
         floor((unix_timestamp(col("ts")) - lit(1L) - (unix_timestamp(col("prev_ts")) + stepSec)) / stepSec) + 1L)

@@ -75,27 +75,6 @@ object Spatial {
     }.reduce(_ + _) % 2 === 1
   }
 
-  /** Argmin over an already-scored join: `min(struct(d2, dimKey, rest…))`
-    * per point — the struct ordering compares (d2, dimKey) first, which IS
-    * the window tie-break, and dimKey uniquely determines every remaining
-    * field. Map-side partial combine, shuffle bounded to one row per point
-    * (the window form shuffled AND sorted the full scored-row set — the
-    * 100× killer). Struct-min plans as SortAggregate (a struct buffer is
-    * not hash-aggregable), so use this where per-point candidate fanout is
-    * already small (cell-ring joins); the brute-force path below uses a
-    * pure-hash two-pass instead.
-    */
-  private def argminJoin(scored: DataFrame, pointKeys: Seq[String], dimKey: String,
-                         exclude: Seq[String] = Nil): DataFrame = {
-    val fields = "d2" +: dimKey +:
-      scored.columns.filterNot(c => pointKeys.contains(c) || c == "d2" || c == dimKey ||
-        exclude.contains(c)).toSeq
-    scored
-      .groupBy(pointKeys.map(col): _*)
-      .agg(min(struct(fields.map(col): _*)).as("best"))
-      .select(pointKeys.map(col) ++ fields.map(f => col(s"best.`$f`").as(f)): _*)
-  }
-
   /** kNN join (k=1): nearest dim row for every point, euclidean-on-degrees
     * (the reference's KDTree metric, gscap/utils.py:141-158), deterministic
     * tie-break on the dim key. Dim is broadcast; the probe side never
@@ -170,17 +149,29 @@ object Spatial {
     val bound = maxRings * graft.functions.S2.minWidthDeg(res)
     val d2 = Geo.euclidDeg2(col("lat"), col("lon"), col("d_lat"), col("d_lon"))
 
-    val cand = points
-      .withColumn("cell", Grid.cell(col("lat"), col("lon"), res))
+    // two-pass pure-HASH argmin over the ring candidates (r6): the struct
+    // min form planned SortAggregate ×2 — full sorts of the wide scored
+    // candidate set. Identical winner selection to [[nearestNeighbor]]:
+    // min(d2) per point (primitive HashAggregate), rescore against the
+    // broadcast ring registrations (identical expression → identical
+    // double bits), tie-break min(dimKey), then recover the winning dim
+    // row by an equi broadcast join on dimKey.
+    val ptsCell = points.withColumn("cell", Grid.cell(col("lat"), col("lon"), res))
+    val ptCols = ptsCell.columns.toSeq
+    val minD2 = ptsCell
       .withColumn("probe_cell", col("cell"))
       .join(broadcast(dimCells), Seq("probe_cell"))
-      .withColumn("d2", d2)
-    // `hit` feeds both the union output and the anti-join (fallback set):
-    // the ring-join chain appears twice in the plan, but the anti-join copy
-    // prunes to the point key and an r6 interleaved A/B measured a
-    // localCheckpoint here as a wash at best (the checkpoint write of the
-    // wide hit frame costs what the pruned recompute costs) — left lazy.
-    val hit = argminJoin(cand, Seq(pointKey), dimKey, exclude = Seq("probe_cell"))
+      .groupBy(ptCols.map(col): _*)
+      .agg(min(d2).as("d2"))
+    val tieBroken = minD2
+      .withColumn("probe_cell", col("cell"))
+      .join(broadcast(dimCells), Seq("probe_cell"))
+      .where(d2 === col("d2"))
+      .groupBy((ptCols :+ "d2").map(col): _*)
+      .agg(min(col(dimKey)).as(dimKey))
+    val hit = tieBroken
+      .join(broadcast(dim.withColumnRenamed(dimKey, "__dk")), col(dimKey) === col("__dk"))
+      .drop("__dk")
       .where(sqrt(col("d2")) <= bound) // coverage guarantee
     val remaining = points.join(hit.select(pointKey), Seq(pointKey), "left_anti")
     val rest = nearestNeighbor(remaining, dim, dimKey, Seq(pointKey))
