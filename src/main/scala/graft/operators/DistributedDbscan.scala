@@ -40,11 +40,19 @@ object DistributedDbscan {
 
     val pts = points.select(col("id").cast("long"), col("lat"), col("lon"))
 
-    // 0. exact dedup with multiplicities; uid = min point id at the coord
-    val uniq = pts.groupBy("lat", "lon")
-      .agg(min("id").as("uid"), count(lit(1)).as("w"))
-      .withColumn("cy", floor(col("lat") / eps).cast("long"))
-      .withColumn("cx", floor(col("lon") / eps).cast("long"))
+    // 0. exact dedup with multiplicities; uid = min point id at the coord.
+    // Cached PARTITIONED BY THE JOIN KEY (cy, cx): the pair joins below
+    // then consume the cache with zero exchanges, and — decisive locally —
+    // the eps-check join runs at the explicit width instead of AQE
+    // coalescing its ~MB-sized shuffle input to ONE task and single-coring
+    // the multi-million-row candidate explosion (AQE sizes by bytes in,
+    // blind to join fan-out CPU; spreadForCpu is the identity at scale).
+    val uniq = graft.functions.Par.spreadForCpu(
+        pts.groupBy("lat", "lon")
+          .agg(min("id").as("uid"), count(lit(1)).as("w"))
+          .withColumn("cy", floor(col("lat") / eps).cast("long"))
+          .withColumn("cx", floor(col("lon") / eps).cast("long")),
+        Seq(col("cy"), col("cx")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 1. eps-neighbor pairs via cell-equi joins, probing only HALF the
