@@ -189,18 +189,20 @@ object SparkEntry {
     // ---- clustering (G7/G2/G8 + home/work, gscap/gps.py:940-1270) -------
     // not SQL-expressible → rows-only driver check; exact-value parity is
     // pinned in ClusteringSpec (40.00015/-45.0 fixture etc.)
-    "gps_clusters" -> ((s, d) => {
-      val (_, clusters) = operators.Clustering.clustersWithContext(
-        Pipelines.velocities(s, d), minSamples = 20)
-      clusters.toDF()
-    }),
-    "gps_cluster_labels" -> ((s, d) => {
-      val (records, _) = operators.Clustering.clustersWithContext(
-        Pipelines.velocities(s, d), minSamples = 20)
-      records.toDF().groupBy("user_id", "cid")
+    // single-output consumers ride contextTagged DIRECTLY (r6): the
+    // clustersWithContext persist only pays off when BOTH outputs are
+    // consumed — here it added a full MEMORY_AND_DISK write of the tagged
+    // frame per invocation for nothing (guide §5: cache only reused frames).
+    // Identical kernel, identical rows.
+    "gps_clusters" -> ((s, d) =>
+      operators.Clustering.contextTagged(Pipelines.velocities(s, d), minSamples = 20)
+        .where(col("clu").isNotNull).select(col("clu.*"))),
+    "gps_cluster_labels" -> ((s, d) =>
+      operators.Clustering.contextTagged(Pipelines.velocities(s, d), minSamples = 20)
+        .where(col("rec").isNotNull).select(col("rec.*"))
+        .groupBy("user_id", "cid")
         .agg(count(lit(1)).as("n_points"),
-          bround(avg("distance_from_home"), 0).as("avg_dfh_m"))
-    }),
+          bround(avg("distance_from_home"), 0).as("avg_dfh_m"))),
     "gps_user_dbscan" -> ((s, d) =>
       // per-user sklearn DBSCAN with MEMBERSHIP pinned per (user, label):
       // core membership and scan-order core labels are order-independent
@@ -226,11 +228,14 @@ object SparkEntry {
         operators.Clustering.userDbscanCores(Tables.gps(s, d), eps = 0.005, minSamples = 20))),
     "gps_full_pipeline" -> ((s, d) => {
       // velocities → home/work/x-cluster labels → sessionized visits →
-      // per-cluster visit statistics: the reference's §3.1 lifecycle
-      val (records, _) = operators.Clustering.clustersWithContext(
+      // per-cluster visit statistics: the reference's §3.1 lifecycle.
+      // records-only consumer → contextTagged direct (no persist), see
+      // gps_clusters above; visits/clusterMetrics each consume their input
+      // exactly once so nothing downstream re-runs the per-user kernel.
+      val records = operators.Clustering.contextTagged(
         Pipelines.velocities(s, d), minSamples = 20)
-      val visits = Sessions.visits(
-        records.toDF().withColumn("date", col("ts").cast("date")))
+        .where(col("rec").isNotNull).select(col("rec.*"))
+      val visits = Sessions.visits(records.withColumn("date", col("ts").cast("date")))
       Sessions.clusterMetrics(visits)
     }),
     "gps_next_phase" -> ((s, d) =>
@@ -698,11 +703,26 @@ object SparkEntry {
       // it the way a many-split production table arrives naturally
       val e = Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
       val planes = Similarity.fixedIntPlanes(64, 4)
+      // l2 norm staged per ROW (r6, guide §1.2 per-task work): the inline
+      // cosine re-ran both sumSq folds per PAIR; staged, each within-bucket
+      // pair pays one dot kernel. Same sqrt(sumSq) expression, same
+      // multiply/divide order — the cosine double is bit-identical.
       val sig = e.select(col("vec_id"), col("embedding"),
-        Similarity.planeSignature(col("embedding"), planes).as("bucket"))
-      val pairs = sig.as("a").join(sig.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .where(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.4)
+        Similarity.planeSignature(col("embedding"), planes).as("bucket"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
+      // deterministic salt (guide §2.5): 2^bits buckets are far fewer keys
+      // than cluster slots, so the self-join ran on ≤16 of 32 partitions.
+      // a-side salts on vec_id; b-side replicates S ways; join keys become
+      // (bucket, salt) — same pair set, S× the key spread, b-side shuffle
+      // grows only by the small replication factor.
+      val S = math.max(2, s.sparkContext.defaultParallelism / 8)
+      val a = sig.withColumn("salt", pmod(col("vec_id"), lit(S)))
+      val b = sig.withColumn("salt", explode(array((0 until S).map(lit): _*)))
+      val pairs = a.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.salt") === col("b.salt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .where(Similarity.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")) >= 0.4)
         .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
       Docs.nearDupClusters(pairs)
         .groupBy(col("rep"))

@@ -169,10 +169,16 @@ object Similarity {
     * lshTopK below.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms staged per ROW on each side (guide §1.2): the joined pair then
+    // pays one dot kernel instead of dot + two sumSq folds. Same
+    // sqrt(sumSq) expressions, same multiply/divide order — cosine doubles
+    // bit-identical to the inline form.
     val scored = corpus
-      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+      .withColumn("__cnrm", l2Norm(col("embedding")))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+          .withColumn("__qnrm", l2Norm(col("q_emb")))),
         col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("__cnrm") * col("__qnrm")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
@@ -228,12 +234,15 @@ object Similarity {
     */
   def lshTopKFixed(corpus: DataFrame, queries: DataFrame, planes: Seq[Seq[Double]],
                    k: Int): DataFrame = {
+    // per-row norm staging — see bruteForceTopK; cosine doubles unchanged
     val sigC = corpus.withColumn("bucket", planeSignature(col("embedding"), planes))
+      .withColumn("__cnrm", l2Norm(col("embedding")))
     val sigQ = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("bucket", planeSignature(col("q_emb"), planes))
+      .withColumn("__qnrm", l2Norm(col("q_emb")))
     sigC.join(broadcast(sigQ), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("__cnrm") * col("__qnrm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
       .where(col("rank") <= k)
@@ -397,6 +406,8 @@ object Similarity {
               nProbe: Int, k: Int, codebook: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val cents = codebook.getOrElse(ivfCentroids(dim, nCells))
     val corpusCells = corpus.withColumn("ivf_cell", ivfCell(col("embedding"), cents))
+      // per-row norm staging — see bruteForceTopK; cosine doubles unchanged
+      .withColumn("__cnrm", l2Norm(col("embedding")))
     // query probes: top nProbe cells by centroid cosine
     val probeArr = {
       val scored = cents.map { case (id, v) =>
@@ -404,10 +415,11 @@ object Similarity {
       slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
     }
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("__qnrm", l2Norm(col("q_emb")))
       .withColumn("ivf_cell", explode(transform(probeArr, p => p.getField("c"))))
     corpusCells.join(broadcast(q), Seq("ivf_cell"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("__cnrm") * col("__qnrm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
       .where(col("rank") <= k)
@@ -426,9 +438,13 @@ object Similarity {
     def bucketsOf(emb: Column): Column =
       array((0 until tables).map(t =>
         struct(lit(t).as("t"), hyperplaneSignature(emb, dim, bits, t.toLong).as("b"))): _*)
-    val sigC = corpus.withColumn("tb", explode(bucketsOf(col("embedding"))))
+    // per-row norm staging BEFORE the table explode (see bruteForceTopK):
+    // one sumSq fold per vector instead of two per (collision × table) row
+    val sigC = corpus.withColumn("__cnrm", l2Norm(col("embedding")))
+      .withColumn("tb", explode(bucketsOf(col("embedding"))))
     val sigQ = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("__qnrm", l2Norm(col("q_emb")))
       .withColumn("tb", explode(bucketsOf(col("q_emb"))))
     // cosine BEFORE the multi-table dedup (r6): deduping rows that still
     // carry the two embedding arrays forces first(array) buffers, which are
@@ -439,7 +455,7 @@ object Similarity {
     // primitive double: pure HashAggregate, no sort. Rank order unchanged.
     sigC.join(broadcast(sigQ), Seq("tb"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("embedding"), col("q_emb")))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("__cnrm") * col("__qnrm")))
       .select("query_id", "vec_id", "cosine")
       .dropDuplicates("query_id", "vec_id") // a pair may collide in several tables
       .withColumn("rank", row_number().over(
