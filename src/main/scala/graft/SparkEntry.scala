@@ -646,10 +646,15 @@ object SparkEntry {
         bround(Similarity.l2Norm(col("embedding")), 4).as("l2_norm"))),
     "emb_sim" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // norms staged per row (r6) — one dot kernel per joined pair instead
+      // of dot + two sumSq folds; same expressions/order, bit-identical
       val q = e.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", Similarity.cosine(col("embedding"), col("q_emb")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          Similarity.l2Norm(col("embedding")).as("qnrm"))
+      e.withColumn("nrm", Similarity.l2Norm(col("embedding")))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          Similarity.dot(col("embedding"), col("q_emb")) / (col("nrm") * col("qnrm")))
         .where(col("cosine") >= 0.3)
         .select(col("query_id"), col("vec_id"), bround(col("cosine"), 4).as("cosine"))
     }),

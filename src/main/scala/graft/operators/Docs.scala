@@ -146,7 +146,14 @@ object Docs {
     */
   def minHashCandidates(signatures: DataFrame, bands: Int = 4,
                         maxBucket: Int = 10000): DataFrame = {
-    val rows = bandRows(signatures, bands)
+    // the banded rows feed FOUR consumers (bucket sizes + both sides of the
+    // pair self-join); un-materialized, each consumer re-ran the whole
+    // text→shingle→minhash kernel scan — the expensive pass at corpus
+    // scale. Checkpoint the (doc_id, band_idx, band_hash) frame (tiny:
+    // three ints per band-row, no text) so the kernel runs ONCE
+    // (CLAUDE.md multi-consumer rule; r6 plan showed the signature subtree
+    // duplicated per side).
+    val rows = bandRows(signatures, bands).localCheckpoint(eager = true)
     val sizes = rows.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
     val ok = rows.join(sizes.where(col("bucket_n") <= maxBucket), Seq("band_idx", "band_hash"))
       .select("doc_id", "band_idx", "band_hash")
@@ -230,8 +237,10 @@ object Docs {
       md5Long(concat_ws(",",
         col(s"mh_${2 * b}").cast("string"), col(s"mh_${2 * b + 1}").cast("string")))
     }
+    // materialized for the same four-consumer reason as [[minHashCandidates]]
     val rows = signatures.select(
       col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      .localCheckpoint(eager = true)
     val sizes = rows.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
     val ok = rows.join(sizes.where(col("bucket_n") <= maxBucket), Seq("band_idx", "band_hash"))
       .select("doc_id", "band_idx", "band_hash")
