@@ -176,17 +176,17 @@ object DistributedDbscan {
     // single-partition global window in the plan.
     val maxComponents =
       spark.conf.getOption("graft.dbscan.maxComponents").map(_.toLong).getOrElse(10_000_000L)
-    // guard BEFORE collecting: the count runs distributed over the (already
-    // aggregated, tiny-schema) component frame, so an over-budget component
-    // set fails here without ever materializing rows on the driver
-    val compMin = assigned.groupBy("comp").agg(min("uid").as("cmin"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nComponents = compMin.count()
-    require(nComponents <= maxComponents,
-      s"$nComponents DBSCAN components exceed graft.dbscan.maxComponents=" +
-        s"$maxComponents — raise the conf (driver heap permitting) or raise minSamples")
-    val compMinRows = compMin.collect()
-    compMin.unpersist(blocking = false)
+    // budget-guarded in ONE job (r6; was persist + count + collect +
+    // unpersist): collect AT MOST maxComponents+1 rows via limit — the
+    // driver never holds more than the budget the happy path collects
+    // anyway, and an over-budget component set surfaces as the +1 row
+    // tripping the require instead of a separate distributed count
+    val limit = (math.min(maxComponents, Int.MaxValue - 1L) + 1L).toInt
+    val compMinRows = assigned.groupBy("comp").agg(min("uid").as("cmin"))
+      .limit(limit).collect()
+    require(compMinRows.length <= maxComponents,
+      s"more than graft.dbscan.maxComponents=$maxComponents DBSCAN components" +
+        " — raise the conf (driver heap permitting) or raise minSamples")
     val labelPairs = compMinRows.sortBy(_.getLong(1)).zipWithIndex
       .map { case (r, i) => (r.getLong(0), i) }.toSeq
     import spark.implicits._

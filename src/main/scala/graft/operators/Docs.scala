@@ -811,7 +811,13 @@ object Docs {
   def rareTokenRatio(docs: DataFrame, invFrac: Int = RareInvFrac): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("token"))
+    // tf feeds BOTH the df derivation and the join's left side;
+    // un-materialized, the text explode + partial agg ran twice (r6 plan:
+    // two Generate+Scan subtrees). The checkpointed frame is the deduped
+    // (doc_id, token, tf) triple — smaller than the text it derives from
+    // (guide §8: decide over the lightweight proxy, scan the text once).
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
     val dfTok = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfTok, Seq("token"))
