@@ -620,7 +620,12 @@ object SparkEntry {
       val pairs = pref.as("a").join(pref.as("b"),
           col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      Docs.jaccard(docs, pairs)
+      // materialize the shingle frame consumed by BOTH pair sides
+      // (jaccardFromShingles' documented contract; the doc_jaccard pattern)
+      // so the compiled shingle kernel scans the corpus once, not per side
+      val sh = docs.select(col("doc_id"), Docs.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint()
+      Docs.jaccardFromShingles(sh, pairs)
     }),
 
     // ---- similarity search ----------------------------------------------

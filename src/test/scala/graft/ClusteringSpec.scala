@@ -144,6 +144,26 @@ class ClusteringSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dbscan.unionFindMaxEdges")
   }
 
+  test("distributed DBSCAN component budget: over-budget fails, at-budget passes (r6 single-collect guard)") {
+    // three clusters; budget 2 must trip the require, budget 3 must pass —
+    // pins the limit(max+1)-collect guard that replaced the count+collect
+    // pair (the driver may never hold more than maxComponents+1 rows)
+    var seed = 11L
+    def next(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 4e-3 }
+    val blobs = Seq((0.0, 0.0), (0.1, 0.1), (-0.2, 0.05)).flatMap { case (la, lo) =>
+      (0 until 60).map(_ => (la + next(), lo + next()))
+    }
+    val df = blobs.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }.toSeq.toDF("id", "lat", "lon")
+    spark.conf.set("graft.dbscan.maxComponents", "2")
+    try {
+      val e = intercept[IllegalArgumentException] { DistributedDbscan.run(df, 0.005, 20).collect() }
+      assert(e.getMessage.contains("maxComponents"))
+      spark.conf.set("graft.dbscan.maxComponents", "3")
+      val labels = DistributedDbscan.run(df, 0.005, 20).collect().map(_.getInt(1)).toSet
+      assert(labels === Set(0, 1, 2))
+    } finally spark.conf.unset("graft.dbscan.maxComponents")
+  }
+
   test("next-phase clusters continue numbering and respect the 100 m anti-join (gps.py:1507-1561)") {
     // phase 1 makes home at fixtureLats; leave 150 unlabeled stationary
     // points at a spot >100 m from everything → next phase clusters them
